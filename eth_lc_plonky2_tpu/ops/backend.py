@@ -1,0 +1,77 @@
+"""Array-backend selection: JAX (TPU/compiled) or numpy (host).
+
+The proving stack's per-element code is written once against this
+shim.  `ELP_BACKEND=jax` (default) runs everything through
+jax.numpy + jit — the TPU path.  `ELP_BACKEND=numpy` executes the
+identical algorithms eagerly in numpy — the host reference path,
+used by the unit-test suite (no XLA compile latency) and as the
+independent cross-check implementation (the role the reference
+ecosystem's native Rust plays for its [dep] kernels).
+
+Both backends share exact u32 wrapping semantics, so results are
+bit-identical; dedicated drives exercise the JAX path on real TPU.
+"""
+
+from __future__ import annotations
+
+import os
+
+USE_NUMPY = os.environ.get("ELP_BACKEND", "jax").lower() == "numpy"
+
+if not USE_NUMPY:
+    import jax
+    import jax.numpy as xp  # noqa: F401
+
+    def jit(fn=None, /, **kwargs):
+        if fn is None:
+            return lambda f: jax.jit(f, **kwargs)
+        return jax.jit(fn, **kwargs)
+
+    def scan(body, init, xs, length=None):
+        return jax.lax.scan(body, init, xs, length=length)
+
+    def associative_scan(fn, elems, axis=0):
+        return jax.lax.associative_scan(fn, elems, axis=axis)
+
+else:
+    import numpy as xp  # noqa: F401
+    from jax import tree_util as _tree
+
+    # u32/u64 limb arithmetic wraps by design; numpy warns on scalar wraps
+    xp.seterr(over="ignore")
+
+    def jit(fn=None, /, **kwargs):
+        if fn is None:
+            return lambda f: f
+        return fn
+
+    def scan(body, init, xs, length=None):
+        if xs is None:
+            assert length is not None
+            n = length
+        else:
+            leaves = _tree.tree_leaves(xs)
+            n = leaves[0].shape[0]
+        carry = init
+        ys = []
+        for i in range(n):
+            x = None if xs is None else _tree.tree_map(lambda a: a[i], xs)
+            carry, y = body(carry, x)
+            ys.append(y)
+        if ys and ys[0] is not None:
+            stacked = _tree.tree_map(lambda *vs: xp.stack(vs), *ys)
+        else:
+            stacked = None
+        return carry, stacked
+
+    def associative_scan(fn, elems, axis=0):
+        leaves = _tree.tree_leaves(elems)
+        n = leaves[0].shape[axis]
+        assert axis == 0, "numpy associative_scan supports axis=0 only"
+        acc = _tree.tree_map(lambda a: a[0], elems)
+        outs = [acc]
+        for i in range(1, n):
+            cur = _tree.tree_map(lambda a: a[i], elems)
+            acc = fn(acc, cur)
+            outs.append(acc)
+        return _tree.tree_map(lambda *vs: xp.stack(vs), *outs)

@@ -25,8 +25,8 @@ unchanged.
 from __future__ import annotations
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+
+from .backend import xp as jnp, jit, scan
 
 # ----------------------------------------------------------------------------
 # Constants
@@ -139,7 +139,7 @@ def _mul32(x, y):
 # ----------------------------------------------------------------------------
 
 
-@jax.jit
+@jit
 def add(a, b):
     """a + b mod p, canonical."""
     al, ah = a
@@ -151,7 +151,7 @@ def add(a, b):
     return jnp.where(need, sl, lo), jnp.where(need, sh, hi)
 
 
-@jax.jit
+@jit
 def sub(a, b):
     """a - b mod p, canonical."""
     al, ah = a
@@ -164,7 +164,7 @@ def sub(a, b):
     return jnp.where(need, sl, lo), jnp.where(need, sh, hi)
 
 
-@jax.jit
+@jit
 def neg(a):
     """-a mod p, canonical."""
     al, ah = a
@@ -206,7 +206,7 @@ def _reduce128(r0, r1, r2, r3):
     return jnp.where(need_p, sl, lo), jnp.where(need_p, sh, hi)
 
 
-@jax.jit
+@jit
 def mul(a, b):
     """a * b mod p, canonical."""
     al, ah = a
@@ -235,7 +235,7 @@ def mul(a, b):
     return _reduce128(r0, r1, r2, r3)
 
 
-@jax.jit
+@jit
 def square(a):
     return mul(a, a)
 
@@ -257,7 +257,7 @@ def _pow_bits(a, bits_lsb_first):
         return (result, base), None
 
     init = (ones(a[0].shape), a)
-    (result, _), _ = jax.lax.scan(body, init, bits_lsb_first)
+    (result, _), _ = scan(body, init, bits_lsb_first)
     return result
 
 
@@ -269,7 +269,7 @@ def pow_const(a, e: int):
     return _pow_bits(a, bits)
 
 
-@jax.jit
+@jit
 def inv(a):
     """Multiplicative inverse via Fermat: a^(p-2). a must be nonzero."""
     e = P - 2

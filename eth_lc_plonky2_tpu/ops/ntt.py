@@ -19,8 +19,8 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+
+from .backend import xp as jnp, jit
 
 from . import goldilocks as gl
 from . import host_field as hf
@@ -61,7 +61,7 @@ def _take_last(f, idx):
     return (jnp.take(f[0], idx, axis=-1), jnp.take(f[1], idx, axis=-1))
 
 
-@functools.partial(jax.jit, static_argnames=("inverse",))
+@jit(static_argnames=("inverse",))
 def ntt(f, inverse: bool = False):
     """Forward (or inverse) NTT along the last axis; natural order in/out.
 
@@ -101,7 +101,7 @@ def intt(f):
     return ntt(f, inverse=True)
 
 
-@functools.partial(jax.jit, static_argnames=("rate_bits", "shift"))
+@jit(static_argnames=("rate_bits", "shift"))
 def coset_lde(coeffs, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GENERATOR):
     """Evaluate a degree-<n polynomial on the coset shift*H' of size n*2^rate_bits.
 
@@ -121,7 +121,7 @@ def coset_lde(coeffs, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GENERATOR):
     return ntt(padded)
 
 
-@functools.partial(jax.jit, static_argnames=("rate_bits", "shift"))
+@jit(static_argnames=("rate_bits", "shift"))
 def coset_intt(evals, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GENERATOR):
     """Inverse of coset_lde restricted to the first n coefficients.
 
@@ -178,7 +178,7 @@ def sum_field(f, axis: int = -1):
     return (lo[..., 0], hi[..., 0])
 
 
-@jax.jit
+@jit
 def eval_poly(coeffs, x):
     """Evaluate polynomial (coeffs on last axis) at scalar x, vectorized.
 

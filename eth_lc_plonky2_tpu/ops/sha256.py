@@ -17,8 +17,8 @@ same layout the circuit gadget uses: a Hash256 is 8 u32 words).
 from __future__ import annotations
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+
+from .backend import xp as jnp, jit, scan
 
 # fmt: off
 K = np.array([
@@ -170,7 +170,7 @@ def _rotr(x, n):
     return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
 
 
-@jax.jit
+@jit
 def compress(state, block):
     """Batched compression on device: state (...,8), block (...,16) u32."""
     state = jnp.asarray(state, dtype=jnp.uint32)
@@ -185,7 +185,7 @@ def compress(state, block):
         win = jnp.concatenate([win[..., 1:], new[..., None]], axis=-1)
         return win, new
 
-    _, w_tail = jax.lax.scan(sched, block, None, length=48)
+    _, w_tail = scan(sched, block, None, length=48)
     # w_tail: (48, ...) -> move to last axis
     w_tail = jnp.moveaxis(w_tail, 0, -1)
     w = jnp.concatenate([block, w_tail], axis=-1)  # (..., 64)
@@ -203,11 +203,11 @@ def compress(state, block):
         return new, None
 
     w_scan = jnp.moveaxis(w, -1, 0)  # (64, ...)
-    final, _ = jax.lax.scan(round_body, state, (jnp.asarray(K), w_scan))
+    final, _ = scan(round_body, state, (jnp.asarray(K), w_scan))
     return final + state
 
 
-@jax.jit
+@jit
 def two_to_one(left, right):
     """Device two-to-one SHA-256 of (..., 8)+(..., 8) -> (..., 8)."""
     left = jnp.asarray(left, dtype=jnp.uint32)

@@ -1,0 +1,305 @@
+"""Batched FRI: commit phase, proof-of-work grind, query proofs.
+
+The low-degree argument of the stack (SURVEY.md §3.4: "FRI commit
+phase (fold rounds, one Merkle commit per layer), PoW grind, 28 query
+rounds").  Radix-2 folding over the extension field; the combined
+opening polynomial
+
+    G(x) = sum_j beta_j * (B_j(x) - y_j) / (x - z_j)
+
+is evaluated on the whole LDE coset as ONE jitted program per circuit
+(challenges enter as traced arguments), committed in pair-leaves
+[G(j), G(j+N/2)] so each query needs one path per layer, then folded
+with per-layer transcript challenges (one jitted fold per layer size).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..ops.backend import xp as jnp, jit
+
+from ..ops import goldilocks as gl
+from ..ops import goldilocks_ext as ge
+from ..ops import host_field as hf
+from ..ops import ntt as nttm
+from ..ops import poseidon as pos
+from .merkle import build_merkle, merkle_path, MerkleTree
+from .transcript import Challenger
+
+P = gl.P
+SHIFT = gl.MULTIPLICATIVE_GENERATOR
+
+
+@dataclasses.dataclass
+class FriQueryProof:
+    batch_leaves: dict  # tag -> (num_polys,) u64 leaf row
+    batch_paths: dict  # tag -> list of (4,) digests
+    layer_leaves: list  # per layer: (4,) u64 [re0, im0, re1, im1]
+    layer_paths: list  # per layer: list of (4,) digests
+
+
+@dataclasses.dataclass
+class FriProof:
+    layer_caps: list  # (2^cap,4) u64 per fold layer (incl. layer 0 = G itself)
+    final_poly: np.ndarray  # (final_len, 2) u64 ext coefficients
+    pow_witness: int
+    query_indices: list
+    query_proofs: list
+
+
+def _bc(scalar, shape):
+    return (jnp.broadcast_to(scalar[0], shape), jnp.broadcast_to(scalar[1], shape))
+
+
+def _ext_mul(x, y):
+    """Ext-array * ext-array (each a pair of (lo,hi) field arrays)."""
+    ac = gl.mul(x[0], y[0])
+    bd = gl.mul(x[1], y[1])
+    ad = gl.mul(x[0], y[1])
+    bc = gl.mul(x[1], y[0])
+    w = gl.full(ac[0].shape, ge.W)
+    return (gl.add(ac, gl.mul(w, bd)), gl.add(ad, bc))
+
+
+def _ext_inv(x):
+    w = gl.full(x[0][0].shape, ge.W)
+    norm = gl.sub(gl.square(x[0]), gl.mul(w, gl.square(x[1])))
+    ninv = gl.inv(norm)
+    return (gl.mul(x[0], ninv), gl.mul(gl.neg(x[1]), ninv))
+
+
+def make_g_kernel(pd, counts: dict, num_specs: int, spec_tags: tuple):
+    """G(x) over the LDE domain; all proof scalars are traced args."""
+    data = pd.data
+    cfg = data.config
+    n_lde = data.n << cfg.rate_bits
+    tags = ("P", "W", "Z", "Q")
+    offsets_g = {}
+    acc = 0
+    for t in tags:
+        offsets_g[t] = acc
+        acc += counts[t]
+    total = acc
+    x_u64 = _lde_x(data.log_n, cfg.rate_bits)
+
+    def kernel(ldes, apow_f, y_f, z_f):
+        # apow_f: field arrays (total + num_specs,) for re and im parts:
+        #   ((re_lo, re_hi), (im_lo, im_hi))
+        apre, apim = apow_f
+        b_tag = {}
+        for ti, t in enumerate(tags):
+            lde = ldes[ti]
+            c0 = offsets_g[t]
+            c1 = c0 + counts[t]
+            a_re = ((apre[0][c0:c1, None]), (apre[1][c0:c1, None]))
+            a_im = ((apim[0][c0:c1, None]), (apim[1][c0:c1, None]))
+            re = nttm.sum_field(gl.mul((jnp.broadcast_to(a_re[0], lde[0].shape),
+                                        jnp.broadcast_to(a_re[1], lde[1].shape)), lde), axis=0)
+            im = nttm.sum_field(gl.mul((jnp.broadcast_to(a_im[0], lde[0].shape),
+                                        jnp.broadcast_to(a_im[1], lde[1].shape)), lde), axis=0)
+            b_tag[t] = (re, im)
+        x_dev = gl.from_u64(x_u64)
+        yre, yim = y_f
+        zre, zim = z_f
+        g_re = None
+        g_im = None
+        for j in range(num_specs):
+            tag = spec_tags[j]
+            numer = (gl.sub(b_tag[tag][0], _bc(((yre[0][j]), (yre[1][j])), (n_lde,))),
+                     gl.sub(b_tag[tag][1], _bc(((yim[0][j]), (yim[1][j])), (n_lde,))))
+            denom = (gl.sub(x_dev, _bc(((zre[0][j]), (zre[1][j])), (n_lde,))),
+                     gl.neg(_bc(((zim[0][j]), (zim[1][j])), (n_lde,))))
+            term = _ext_mul(numer, _ext_inv(denom))
+            bj = total + j
+            beta_j = ((_bc(((apre[0][bj]), (apre[1][bj])), (n_lde,))),
+                      (_bc(((apim[0][bj]), (apim[1][bj])), (n_lde,))))
+            term = _ext_mul(term, beta_j)
+            g_re = term[0] if g_re is None else gl.add(g_re, term[0])
+            g_im = term[1] if g_im is None else gl.add(g_im, term[1])
+        return g_re, g_im
+
+    return jit(kernel)
+
+
+@jit
+def _fold_core(re, im, hx, half, beta_f):
+    """One radix-2 fold with traced beta: inputs length 2h -> outputs h."""
+    h = re[0].shape[0] // 2
+    re0 = (re[0][:h], re[1][:h])
+    re1 = (re[0][h:], re[1][h:])
+    im0 = (im[0][:h], im[1][:h])
+    im1 = (im[0][h:], im[1][h:])
+    s = (gl.add(re0, re1), gl.add(im0, im1))
+    d = (gl.sub(re0, re1), gl.sub(im0, im1))
+    term1 = (gl.mul(s[0], half), gl.mul(s[1], half))
+    dd = (gl.mul(d[0], hx), gl.mul(d[1], hx))
+    beta_b = (_bc(beta_f[0], (h,)), _bc(beta_f[1], (h,)))
+    term2 = _ext_mul(dd, beta_b)
+    return (gl.add(term1[0], term2[0]), gl.add(term1[1], term2[1]))
+
+
+def _lde_x(log_n: int, rate_bits: int) -> np.ndarray:
+    n_lde = 1 << (log_n + rate_bits)
+    w = gl.primitive_root_of_unity(log_n + rate_bits)
+    return hf.mul(np.uint64(SHIFT), hf.powers(w, n_lde))
+
+
+def _layer_tree(evals) -> MerkleTree:
+    """Commit an ext layer with pair leaves [re_j, im_j, re_j', im_j']."""
+    re = np.asarray(gl.to_u64(evals[0]))
+    im = np.asarray(gl.to_u64(evals[1]))
+    n = re.shape[0]
+    h = n // 2
+    leaves = np.stack([re[:h], im[:h], re[h:], im[h:]], axis=1)  # (h, 4)
+    return build_merkle(leaves, layer_cap_height(h))
+
+
+def layer_cap_height(num_leaves: int) -> int:
+    return min(4, num_leaves.bit_length() - 1)
+
+
+def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenger) -> FriProof:
+    from .prove import scalars_f  # local import to avoid cycle
+
+    data = pd.data
+    cfg = data.config
+    fri_cfg = cfg.fri
+    n_lde = data.n << cfg.rate_bits
+
+    # --- G evaluation (jitted kernel; proof scalars as args) ---
+    tags = ("P", "W", "Z", "Q")
+    counts = {t: batches[t].lde[0].shape[0] for t in tags}
+    total = sum(counts.values())
+    num_specs = len(point_specs)
+    spec_tags = tuple(tag for tag, _ in point_specs)
+    gk_name = "fri_g"
+    from .prove import _get_kernel
+
+    gk = _get_kernel(
+        pd, gk_name, lambda: make_g_kernel(pd, counts, num_specs, spec_tags)
+    )
+    # alpha powers (host)
+    apow = [(1, 0)]
+    for _ in range(total + num_specs):
+        apow.append(ge.h_mul(apow[-1], fri_alpha))
+    apow = apow[: total + num_specs]
+    # y_j, z_j per spec (host)
+    omega = gl.primitive_root_of_unity(data.log_n)
+    offsets_g = {}
+    acc = 0
+    for t in tags:
+        offsets_g[t] = acc
+        acc += counts[t]
+    ys = []
+    zs = []
+    for tag, off in point_specs:
+        z_j = ge.h_mul(zeta, (pow(omega, off % data.n, P), 0))
+        y_j = (0, 0)
+        vals = openings[(tag, off)]
+        for i in range(counts[tag]):
+            y_j = ge.h_add(y_j, ge.h_mul(apow[offsets_g[tag] + i], (int(vals[i, 0]), int(vals[i, 1]))))
+        ys.append(y_j)
+        zs.append(z_j)
+    apow_f = (scalars_f([a[0] for a in apow]), scalars_f([a[1] for a in apow]))
+    y_f = (scalars_f([y[0] for y in ys]), scalars_f([y[1] for y in ys]))
+    z_f = (scalars_f([z[0] for z in zs]), scalars_f([z[1] for z in zs]))
+    ldes = tuple(batches[t].lde for t in tags)
+    g = gk(ldes, apow_f, y_f, z_f)
+
+    # --- commit phase ---
+    trees = []
+    evals = g
+    size = n_lde
+    shift = SHIFT
+    inv2 = gl.h_inv(2)
+    stop_size = 1 << (fri_cfg.final_poly_bits + fri_cfg.rate_bits)
+    while size > stop_size:
+        tree = _layer_tree(evals)
+        trees.append(tree)
+        ch.observe_cap(tree.cap)
+        beta = ch.challenge_ext()
+        h = size // 2
+        w = gl.primitive_root_of_unity(size.bit_length() - 1)
+        half_xinv = hf.mul(
+            np.uint64(inv2), hf.mul(np.uint64(gl.h_inv(shift)), hf.powers(gl.h_inv(w), h))
+        )
+        evals = _fold_core(
+            evals[0], evals[1], gl.from_u64(half_xinv), gl.full((h,), inv2),
+            (gl.from_u64(np.uint64(beta[0])), gl.from_u64(np.uint64(beta[1]))),
+        )
+        size = h
+        shift = (shift * shift) % P
+    # --- final polynomial ---
+    final_len = size >> fri_cfg.rate_bits
+    c_re = nttm.coset_intt(evals[0], 0, shift)
+    c_im = nttm.coset_intt(evals[1], 0, shift)
+    c_re_u = np.asarray(gl.to_u64(c_re))
+    c_im_u = np.asarray(gl.to_u64(c_im))
+    assert np.all(c_re_u[final_len:] == 0) and np.all(c_im_u[final_len:] == 0), (
+        "FRI final polynomial exceeds expected degree — constraint system bug"
+    )
+    final_poly = np.stack([c_re_u[:final_len], c_im_u[:final_len]], axis=1)
+    for coeff in final_poly:
+        ch.observe(int(coeff[0]))
+        ch.observe(int(coeff[1]))
+
+    # --- proof of work ---
+    pow_witness = grind(ch, fri_cfg.proof_of_work_bits)
+    ch.observe(pow_witness)
+
+    # --- queries ---
+    num_q = fri_cfg.num_query_rounds
+    indices = [ch.challenge() % n_lde for _ in range(num_q)]
+    query_proofs = []
+    for idx in indices:
+        b_leaves = {}
+        b_paths = {}
+        for tag in tags:
+            tree = batches[tag].tree
+            b_leaves[tag] = tree.leaves[idx].copy()
+            b_paths[tag] = merkle_path(tree, idx)
+        l_leaves = []
+        l_paths = []
+        cur = idx
+        sz = n_lde
+        for tree in trees:
+            h = sz // 2
+            j = cur % h
+            l_leaves.append(tree.leaves[j].copy())
+            l_paths.append(merkle_path(tree, j))
+            cur = j
+            sz = h
+        query_proofs.append(
+            FriQueryProof(batch_leaves=b_leaves, batch_paths=b_paths, layer_leaves=l_leaves, layer_paths=l_paths)
+        )
+    return FriProof(
+        layer_caps=[t.cap for t in trees],
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+        query_indices=indices,
+        query_proofs=query_proofs,
+    )
+
+
+def grind(ch: Challenger, pow_bits: int) -> int:
+    """Find w with hash([c, w])[0] < 2^(64 - pow_bits), batched on device."""
+    c = ch.challenge()
+    threshold = 1 << (64 - pow_bits)
+    batch = 1 << min(20, pow_bits + 3)
+    start = 0
+    while True:
+        ws = np.arange(start, start + batch, dtype=np.uint64)
+        inputs = np.stack([np.full(batch, c, dtype=np.uint64), ws], axis=1)
+        digests = np.asarray(gl.to_u64(pos.hash_no_pad(gl.from_u64(inputs))))
+        ok = np.nonzero(digests[:, 0] < threshold)[0]
+        if ok.size:
+            return int(ws[ok[0]])
+        start += batch
+
+
+def verify_pow(c: int, witness: int, pow_bits: int) -> bool:
+    digest = pos.hash_no_pad_host([c, witness])
+    return digest[0] < (1 << (64 - pow_bits))

@@ -9,6 +9,10 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests run the numpy backend (bit-identical algorithms, no XLA compile
+# latency); the JAX/TPU path is exercised by bench.py, __graft_entry__,
+# and the verify-skill TPU drives.
+os.environ.setdefault("ELP_BACKEND", "numpy")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
