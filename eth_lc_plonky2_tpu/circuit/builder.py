@@ -74,6 +74,7 @@ class BatchGenerator:
     """Custom vectorized generator (e.g. the SHA-256 trace kernel)."""
 
     run_fn: Callable  # (witness) -> None
+    inputs: list = dataclasses.field(default_factory=list)
 
     def run(self, w: "Witness"):
         self.run_fn(w)
@@ -458,10 +459,30 @@ class Witness:
         self.values[sids] = np.asarray(vals, dtype=np.uint64) % np.uint64(P)
         self.known[sids] = True
 
+    def _ready(self, g) -> bool:
+        return all(self.known[self._sid(t)] for t in g.inputs)
+
     def generate(self):
-        """Run all witness generators (creation order)."""
-        for g in self.data.generators:
-            g.run(self)
+        """Run all witness generators to fixpoint.
+
+        Creation order resolves almost everything in one pass; a
+        generator whose inputs are produced later (e.g. a range check
+        on a div_rem output) is retried on the next pass.
+        """
+        pending = list(self.data.generators)
+        while pending:
+            remaining = []
+            for g in pending:
+                if self._ready(g):
+                    g.run(self)
+                else:
+                    remaining.append(g)
+            if len(remaining) == len(pending):
+                raise RuntimeError(
+                    f"witness generation stuck: {len(remaining)} generators "
+                    f"wait on unset inputs (first: {remaining[0].inputs[:4]})"
+                )
+            pending = remaining
 
     def full_matrix(self) -> np.ndarray:
         """(num_wires, n) u64 matrix with copy classes materialized."""
