@@ -1,0 +1,214 @@
+"""End-to-end driver (layers L7/L8): the reference's `main.rs` flow.
+
+  load update pair -> compute domain + signing root -> build the full
+  light-client circuit -> register cur/new ContractState roots as
+  public inputs -> set witness -> build -> prove -> verify -> report
+  gate counts / degree / timings.
+
+Behavioral parity with /root/reference/eth-lc-plonky2/src/main.rs:31-234
+(minus the live beacon-RPC fetch: input comes from light-client-update
+JSON files of the fixture schema, or from the synthetic generator).
+The BLS sub-proof (main.rs:172, starky_bls12_381::aggregate_proof) is a
+pluggable inner-proof provider; until the recursion layer absorbs it,
+its byte inputs (signing root / signature / pubkeys) are bound as
+witness values with identical layout.
+
+Usage:
+  python -m eth_lc_plonky2_tpu.cli --synthetic 16
+  python -m eth_lc_plonky2_tpu.cli --cur-update PATH --new-update PATH
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _gate_counts(data) -> dict:
+    counts = data.selectors.sum(axis=1)
+    return {name: int(c) for name, c in zip(data.gate_names, counts)}
+
+
+def _public_inputs_hex(pi_values: np.ndarray) -> tuple[str, str]:
+    """16 u32 limbs -> (cur_state, new_state) 32-byte hex roots."""
+    limbs = [int(v) for v in pi_values]
+    cur = b"".join(int(l).to_bytes(4, "big") for l in limbs[:8])
+    new = b"".join(int(l).to_bytes(4, "big") for l in limbs[8:16])
+    return cur.hex(), new.hex()
+
+
+def witness_from_updates(cur_update, new_update):
+    """Map a (cur, new) light-client update pair to set_proof_target
+    kwargs — the exact assembly of main.rs:84-169 (cur_* from the prev
+    update's finality/committee data, signing committee = prev update's
+    next_sync_committee, rollover roots from the new update's branch)."""
+    from .eth import ssz
+    from .eth.domain import (
+        DOMAIN_SYNC_COMMITTEE,
+        compute_domain,
+        compute_signing_root,
+        fork_version_at_slot,
+    )
+
+    att = new_update.attested_header
+    fin = new_update.finalized_header
+    domain = compute_domain(DOMAIN_SYNC_COMMITTEE, fork_version_at_slot(att.slot))
+    signing_root = compute_signing_root(att.tree_hash_root(), domain)
+
+    cur_slot = cur_update.finalized_header.slot
+    cur_header = cur_update.finalized_header.tree_hash_root()
+    cur_sync_committee_i = cur_update.next_sync_committee_branch[0]
+    cur_sync_committee_ii = cur_update.next_sync_committee.tree_hash_root()
+    new_sync_committee_i = new_update.next_sync_committee_branch[0]
+    new_sync_committee_ii = new_update.next_sync_committee.tree_hash_root()
+
+    cur_state = ssz.contract_state_root(cur_slot, cur_header, cur_sync_committee_i, cur_sync_committee_ii)
+    new_state = ssz.contract_state_root(
+        fin.slot, fin.tree_hash_root(), new_sync_committee_i, new_sync_committee_ii
+    )
+    return dict(
+        signing_root=signing_root,
+        domain=domain,
+        attested_slot=att.slot,
+        attested_proposer_index=att.proposer_index,
+        attested_parent_root=att.parent_root,
+        attested_state_root=att.state_root,
+        attested_body_root=att.body_root,
+        finalized_slot=fin.slot,
+        finalized_proposer_index=fin.proposer_index,
+        finalized_parent_root=fin.parent_root,
+        finalized_state_root=fin.state_root,
+        finalized_body_root=fin.body_root,
+        finality_branch=new_update.finality_branch,
+        cur_state=cur_state,
+        new_state=new_state,
+        cur_slot=cur_slot,
+        cur_header=cur_header,
+        cur_sync_committee_i=cur_sync_committee_i,
+        cur_sync_committee_ii=cur_sync_committee_ii,
+        new_sync_committee_i=new_sync_committee_i,
+        new_sync_committee_ii=new_sync_committee_ii,
+        sync_committee_bits=new_update.sync_committee_bits,
+        new_sync_committee_ii_branch=new_update.next_sync_committee_branch,
+        sync_committee_pubkeys=cur_update.next_sync_committee.pubkeys,
+        sync_committee_aggregate=cur_update.next_sync_committee.aggregate_pubkey,
+        signature=new_update.sync_committee_signature,
+    ), cur_state, new_state
+
+
+def run(
+    witness_kwargs: dict,
+    committee_size: int,
+    threshold: int | None = None,
+    pow_bits: int = 16,
+    query_rounds: int = 28,
+    skip_prove: bool = False,
+    out=sys.stdout,
+) -> dict:
+    from .circuit.builder import CircuitBuilder
+    from .models import lc_circuit as lc
+    from .prover import prove as pr
+    from .prover.config import CircuitConfig, FriConfig
+    from .prover.verify import verify
+
+    report: dict = {"committee_size": committee_size}
+
+    t0 = time.time()
+    # num_wires=184: wide enough for the batched SHA-256 segment gate
+    cfg = CircuitConfig(
+        num_wires=184,
+        fri=FriConfig(proof_of_work_bits=pow_bits, num_query_rounds=query_rounds),
+    )
+    b = CircuitBuilder(cfg)
+    target = lc.add_virtual_proof_target(b, committee_size, threshold)
+    b.register_public_inputs(target.cur_state)
+    b.register_public_inputs(target.new_state)
+    data = b.build()
+    report["build_s"] = round(time.time() - t0, 3)
+    report["gate_counts"] = _gate_counts(data)
+    report["rows_used"] = data.num_rows_used
+    report["degree_bits"] = data.log_n  # main.rs:228 "degree - {}"
+    print(f"gate counts: {report['gate_counts']}", file=out)
+    print(f"degree - {data.log_n} ({data.num_rows_used} rows used)", file=out)
+
+    t0 = time.time()
+    w = data.new_witness()
+    lc.set_proof_target(w, target, **witness_kwargs)
+    w.generate()
+    report["witness_s"] = round(time.time() - t0, 3)
+    print(f"witness generated in {report['witness_s']}s", file=out)
+
+    if skip_prove:
+        return report
+
+    t0 = time.time()
+    pd, vk = pr.preprocess(data)
+    report["preprocess_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    proof = pr.prove(pd, w)
+    report["prove_s"] = round(time.time() - t0, 3)
+    print(f"proved in {int(report['prove_s'] * 1000)}ms", file=out)  # main.rs:232
+
+    t0 = time.time()
+    verify(data, vk, proof)
+    report["verify_s"] = round(time.time() - t0, 3)
+    print(f"verified in {int(report['verify_s'] * 1000)}ms", file=out)
+
+    cur_hex, new_hex = _public_inputs_hex(proof.public_inputs)
+    report["cur_state"] = cur_hex
+    report["new_state"] = new_hex
+    assert cur_hex == witness_kwargs["cur_state"].hex()
+    assert new_hex == witness_kwargs["new_state"].hex()
+    print(f"public inputs: cur_state=0x{cur_hex} new_state=0x{new_hex}", file=out)
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--cur-update", help="light-client update JSON for the current period")
+    p.add_argument("--new-update", help="light-client update JSON for the next period")
+    p.add_argument("--synthetic", type=int, metavar="N",
+                   help="prove a synthetic consistent update pair with an N-member committee")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pow-bits", type=int, default=16)
+    p.add_argument("--query-rounds", type=int, default=28)
+    p.add_argument("--skip-prove", action="store_true", help="build circuit + witness only")
+    p.add_argument("--json", action="store_true", help="emit the report as one JSON line")
+    args = p.parse_args(argv)
+
+    if args.synthetic:
+        from .eth.synthetic import make_synthetic_update_pair
+
+        syn = make_synthetic_update_pair(args.synthetic, seed=args.seed)
+        witness_kwargs = syn.witness_kwargs
+        committee_size, threshold = syn.committee_size, syn.threshold
+    elif args.cur_update and args.new_update:
+        from .eth.lc_update import load_update
+
+        cur_u = load_update(args.cur_update)
+        new_u = load_update(args.new_update)
+        witness_kwargs, _, _ = witness_from_updates(cur_u, new_u)
+        committee_size, threshold = 512, None
+    else:
+        p.error("provide --synthetic N or both --cur-update and --new-update")
+
+    report = run(
+        witness_kwargs,
+        committee_size,
+        threshold,
+        pow_bits=args.pow_bits,
+        query_rounds=args.query_rounds,
+        skip_prove=args.skip_prove,
+    )
+    if args.json:
+        print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

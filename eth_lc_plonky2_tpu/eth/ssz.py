@@ -71,8 +71,10 @@ def sync_committee_root(pubkeys: list[bytes], aggregate_pubkey: bytes) -> bytes:
     """hash_tree_root(SyncCommittee{pubkeys: Vector[BLSPubkey, 512],
     aggregate_pubkey}) — matches sync_committee_pubkeys.rs:47-87:
     a height-10 tree over 1024 pubkey half-chunks, the aggregate's
-    height-1 tree, then the 2-field container root."""
-    assert len(pubkeys) == 512
+    height-1 tree, then the 2-field container root.  Any power-of-two
+    committee size is supported (reduced synthetic committees use the
+    same shape at a smaller height)."""
+    assert len(pubkeys) & (len(pubkeys) - 1) == 0
     chunks = []
     for pk in pubkeys:
         l, r = pubkey_leaves(pk)

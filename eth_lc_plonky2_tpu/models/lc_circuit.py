@@ -200,7 +200,9 @@ class UpdateValidityTarget:
     participation_big: list
 
 
-def add_virtual_update_validity_target(b: CircuitBuilder) -> UpdateValidityTarget:
+def add_virtual_update_validity_target(
+    b: CircuitBuilder, threshold: int = FINALITY_THRESHOLD
+) -> UpdateValidityTarget:
     cur_slot_big = gb.add_virtual_biguint_target(b, 8)
     finalized_slot_big = gb.add_virtual_biguint_target(b, 8)
     participation_big = gb.add_virtual_biguint_target(b, 1)
@@ -208,8 +210,8 @@ def add_virtual_update_validity_target(b: CircuitBuilder) -> UpdateValidityTarge
     # cur_slot <= finalized_slot
     le = gb.cmp_biguint(b, cur_slot_big, finalized_slot_big)
     b.connect(le, b.one())
-    # NOT (participation <= FINALITY_THRESHOLD)
-    threshold = gb.constant_biguint(b, FINALITY_THRESHOLD, 1)
+    # NOT (participation <= threshold)
+    threshold = gb.constant_biguint(b, threshold, 1)
     too_few = gb.cmp_biguint(b, participation_big, threshold)
     b.connect(too_few, b.zero())
     return UpdateValidityTarget(
@@ -347,10 +349,20 @@ class ProofTarget:
     signature_bytes: list
 
 
-def add_virtual_proof_target(b: CircuitBuilder, committee_size: int = SYNC_COMMITTEE_SIZE) -> ProofTarget:
+def add_virtual_proof_target(
+    b: CircuitBuilder,
+    committee_size: int = SYNC_COMMITTEE_SIZE,
+    threshold: int | None = None,
+) -> ProofTarget:
     """The whole light-client update circuit (minus the BLS recursive
     absorption, which plugs into signing_root_bytes / signature_bytes /
-    pubkey bytes when the recursion layer is enabled)."""
+    pubkey bytes when the recursion layer is enabled).
+
+    `threshold` defaults to the mainnet FINALITY_THRESHOLD (342,
+    targets.rs:29) at committee_size=512 and to ceil(2/3 * size) for
+    reduced synthetic committees."""
+    if threshold is None:
+        threshold = FINALITY_THRESHOLD if committee_size == SYNC_COMMITTEE_SIZE else (2 * committee_size) // 3
     signing_root_bytes = b.add_virtual_targets(32)
     signing_root = [read_u32_be(b, signing_root_bytes, 4 * i) for i in range(8)]
     domain = gs.add_virtual_hash256(b)
@@ -383,7 +395,7 @@ def add_virtual_proof_target(b: CircuitBuilder, committee_size: int = SYNC_COMMI
     contract_state_t = add_virtual_contract_state_target(b)
     find_sc_t = add_virtual_find_sync_committee_target(b)
     verify_sc_t = add_virtual_verify_sync_committee_target(b)
-    update_validity_t = add_virtual_update_validity_target(b)
+    update_validity_t = add_virtual_update_validity_target(b, threshold)
 
     # *** signing root ***
     gs.connect_hash256(b, signing_root_t.signing_root, signing_root)
