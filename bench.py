@@ -1,16 +1,31 @@
-"""Benchmark: end-to-end prove of a toy circuit on one TPU chip.
+"""Benchmark: end-to-end proves + kernel ops/s on one TPU chip.
 
-BASELINE.json config 3: "Goldilocks NTT/LDE + Poseidon FRI commit for a
-2^N-row toy circuit, single chip".  Prints ONE JSON line:
+Prints ONE JSON line:
 
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extra": {...}}
 
-vs_baseline normalizes by constraint-row throughput against the
-reference's published number: ~2.98M constraints proven in ~300 s on a
-32-vCPU host (BASELINE.md) => 9,933 rows/s.  vs_baseline > 1 means this
-prover's rows/s on one chip beats the reference CPU prover's rows/s.
+Primary metric: wall-clock of a steady-state prove of a SHA-256-heavy
+circuit (the light-client workload shape: batched 68-row SHA segments,
+184 wires) at 2^BENCH_LOG_ROWS rows.  vs_baseline normalizes by
+constraint-row throughput against the reference's published number:
+~2.98M constraints proven in ~300 s on a 32-vCPU host (BASELINE.md)
+=> 9,933 rows/s.  vs_baseline > 1 means this prover's rows/s on one
+chip beats the reference CPU prover's rows/s.
 
-Environment knobs: BENCH_LOG_ROWS (default 12).
+extra carries the BASELINE.md §north-star kernel counters:
+  ntt_mpts_s            forward-NTT points/s (millions), 64x2^16 batch
+  ntt_sol_frac          fraction of the VPU speed-of-light model
+  poseidon_mhashes_s    Poseidon rate-8 hashes/s (millions), 2^19 batch
+  poseidon_sol_frac     fraction of speed-of-light
+  toy_prove_wall_s      steady-state prove of the round-1 arith+range toy
+
+Speed-of-light model (documented, not measured): one v5e core VPU
+issues ~8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz ~= 3.85e12 u32
+lane-ops/s.  A Goldilocks mul in u32 limbs costs ~60 lane-ops, an add
+~12; an NTT butterfly ~84 (mul+add+sub); a Poseidon permutation
+~68,000 (30 rounds of MDS-as-u16-parts + x^7 s-boxes + reduction).
+
+Environment knobs: BENCH_LOG_ROWS (default 16), BENCH_SKIP_PROVES.
 """
 
 import json
@@ -29,62 +44,138 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 from eth_lc_plonky2_tpu.circuit.builder import CircuitBuilder
+from eth_lc_plonky2_tpu.circuit import gadgets_sha256 as gs
 from eth_lc_plonky2_tpu.prover.config import CircuitConfig, FriConfig
 from eth_lc_plonky2_tpu.prover import prove as pr
 from eth_lc_plonky2_tpu.prover.verify import verify
+from eth_lc_plonky2_tpu.ops import goldilocks as gl
+from eth_lc_plonky2_tpu.ops import ntt as nttm
+from eth_lc_plonky2_tpu.ops import poseidon as pos
 
 REFERENCE_ROWS_PER_S = 2_980_000 / 300.0  # BASELINE.md: 2.98M constraints / 300 s
 
+# speed-of-light model constants (see module docstring)
+VPU_U32_OPS_PER_S = 3.85e12
+BUTTERFLY_U32_OPS = 84.0
+POSEIDON_PERMUTE_U32_OPS = 68_000.0
+
+
+def build_sha_circuit(log_rows: int):
+    """K two-to-one SHA-256 hashes (the LC workload shape), ~2^log_rows rows."""
+    cfg = CircuitConfig(num_wires=184, fri=FriConfig(proof_of_work_bits=12, num_query_rounds=28))
+    b = CircuitBuilder(cfg)
+    # each pair costs 2 compressions x 68 rows + feed-forward adds
+    k = max(1, ((1 << log_rows) - 64) * 10 // (2 * 68 * 11))
+    pairs = [(gs.add_virtual_hash256(b), gs.add_virtual_hash256(b)) for _ in range(k)]
+    digests = gs.two_to_one_sha256_batch(b, pairs)
+    b.register_public_inputs(digests[0])
+    return b, pairs
+
 
 def build_toy_circuit(log_rows: int):
-    """Arithmetic + range-check mix that fills ~2^log_rows rows."""
+    """Arithmetic + range-check mix that fills ~2^log_rows rows (round-1 shape)."""
     cfg = CircuitConfig(fri=FriConfig(proof_of_work_bits=12, num_query_rounds=28))
     b = CircuitBuilder(cfg)
     target_rows = (1 << log_rows) - 8
     x = b.add_virtual_target()
     one = b.one()
     acc = x
-    # each arithmetic row = 20 ops; each basesum row = 2 range checks.
-    # acc grows additively (acc += x with x=1 at witness time) so the
-    # range checks stay satisfiable for any circuit size.
     while len(b.rows) < target_rows:
         for _ in range(40):
             acc = b.mul_add(acc, one, x)
         b.split_le(acc, 32)
-    out = acc
-    b.register_public_input(out)
-    return b, x, out
+    b.register_public_input(acc)
+    return b, x
 
 
-def main():
-    log_rows = int(os.environ.get("BENCH_LOG_ROWS", "12"))
-    # warm up the device<->host channel (first transfer pays one-time
-    # tunnel setup; see .claude/skills/verify/SKILL.md)
-    jax.device_get(jnp.arange(4))
-
-    b, x, out = build_toy_circuit(log_rows)
+def timed_prove(b, set_witness):
     data = b.build()
     pd, vk = pr.preprocess(data)
     w = data.new_witness()
-    w.set(x, 1)
+    set_witness(w)
     w.generate()
-
-    # first prove: compiles every kernel; second: steady state
-    proof = pr.prove(pd, w)
+    proof = pr.prove(pd, w)  # compile + warmup
     verify(data, vk, proof)
     t0 = time.time()
     proof = pr.prove(pd, w)
     dt = time.time() - t0
     verify(data, vk, proof)
+    return data, dt
 
-    rows_per_s = data.n / dt
+
+def bench_ntt():
+    batch, log_n = 64, 16
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    v = gl.from_u64(rng.integers(0, gl.P, size=(batch, n), dtype=np.uint64))
+    out = nttm.ntt(v)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = nttm.ntt(v)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    pts_per_s = batch * n / dt
+    sol = VPU_U32_OPS_PER_S / (BUTTERFLY_U32_OPS * log_n / 2)  # pts/s at light speed
+    return pts_per_s, pts_per_s / sol
+
+
+def bench_poseidon():
+    rows = 1 << 19
+    rng = np.random.default_rng(1)
+    v = gl.from_u64(rng.integers(0, gl.P, size=(rows, 8), dtype=np.uint64))
+    out = pos.hash_no_pad(v)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = pos.hash_no_pad(v)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    hashes_per_s = rows / dt  # one permutation per rate-8 hash
+    sol = VPU_U32_OPS_PER_S / POSEIDON_PERMUTE_U32_OPS
+    return hashes_per_s, hashes_per_s / sol
+
+
+def main():
+    log_rows = int(os.environ.get("BENCH_LOG_ROWS", "16"))
+    # warm up the device<->host channel (first transfer pays one-time
+    # tunnel setup; see .claude/skills/verify/SKILL.md)
+    jax.device_get(jnp.arange(4))
+
+    extra = {}
+    ntt_ps, ntt_frac = bench_ntt()
+    extra["ntt_mpts_s"] = round(ntt_ps / 1e6, 1)
+    extra["ntt_sol_frac"] = round(ntt_frac, 4)
+    pos_ps, pos_frac = bench_poseidon()
+    extra["poseidon_mhashes_s"] = round(pos_ps / 1e6, 2)
+    extra["poseidon_sol_frac"] = round(pos_frac, 4)
+
+    # primary: SHA-heavy prove (LC workload shape)
+    b, pairs = build_sha_circuit(log_rows)
+
+    def set_sha_witness(w):
+        for i, (l, r) in enumerate(pairs):
+            gs.set_hash256(w, l, bytes([(i + j) % 256 for j in range(32)]))
+            gs.set_hash256(w, r, bytes([(i * 2 + j) % 256 for j in range(32)]))
+
+    data, sha_dt = timed_prove(b, set_sha_witness)
+    rows_per_s = data.n / sha_dt
+
+    # secondary: round-1 arith toy shape (continuity with BENCH_r01)
+    b2, x = build_toy_circuit(min(log_rows, 13))
+    _, toy_dt = timed_prove(b2, lambda w: w.set(x, 1))
+    extra["toy_prove_wall_s"] = round(toy_dt, 3)
+
     print(
         json.dumps(
             {
-                "metric": f"toy2^{data.log_n}_prove_wall_s",
-                "value": round(dt, 3),
+                "metric": f"sha2^{data.log_n}_prove_wall_s",
+                "value": round(sha_dt, 3),
                 "unit": "s",
                 "vs_baseline": round(rows_per_s / REFERENCE_ROWS_PER_S, 3),
+                "extra": extra,
             }
         )
     )

@@ -10,13 +10,12 @@ application circuit — all designed TPU-first (vectorized u32-limb
 kernels, pjit/shard_map sharding over device meshes).
 
 Layer map (mirrors SURVEY.md §1 of the reference analysis):
-  ops/       L0/L1: field, NTT, Poseidon, SHA-256 (+ pallas kernels)
+  ops/       L0/L1: field, NTT, Poseidon, SHA-256
   circuit/   L2:    constraint-system frontend + gadget library
   prover/    L3:    prover/verifier runtime (commit, quotient, FRI)
   models/    L6:    application circuits (light-client update)
   eth/       L7:    SSZ, domains, light-client JSON ingestion
-  parallel/  —:     multi-chip sharding (mesh, sharded NTT/commit)
-  native/    —:     C++ host-side reference + fast host kernels
+  parallel/  —:     multi-chip sharding (mesh, sharded prover)
 """
 
 __version__ = "0.1.0"

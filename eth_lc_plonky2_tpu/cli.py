@@ -107,28 +107,42 @@ def run(
     pow_bits: int = 16,
     query_rounds: int = 28,
     skip_prove: bool = False,
+    cache_dir: str | None = None,
+    save_proof_path: str | None = None,
     out=sys.stdout,
 ) -> dict:
     from .circuit.builder import CircuitBuilder
     from .models import lc_circuit as lc
     from .prover import prove as pr
+    from .prover import serialize as ser
     from .prover.config import CircuitConfig, FriConfig
     from .prover.verify import verify
 
     report: dict = {"committee_size": committee_size}
 
-    t0 = time.time()
     # num_wires=184: wide enough for the batched SHA-256 segment gate
     cfg = CircuitConfig(
         num_wires=184,
         fri=FriConfig(proof_of_work_bits=pow_bits, num_query_rounds=query_rounds),
     )
-    b = CircuitBuilder(cfg)
-    target = lc.add_virtual_proof_target(b, committee_size, threshold)
-    b.register_public_inputs(target.cur_state)
-    b.register_public_inputs(target.new_state)
-    data = b.build()
-    report["build_s"] = round(time.time() - t0, 3)
+
+    pd = vk = target = data = None
+    key = ser.cache_key("lc_circuit", committee_size, threshold, cfg)
+    if cache_dir and ser.has_cached_circuit(cache_dir, key):
+        t0 = time.time()
+        target, data, pd, vk = ser.load_circuit(ser.cache_dir_for(cache_dir, key))
+        report["build_s"] = report["preprocess_s"] = 0.0
+        report["cache_load_s"] = round(time.time() - t0, 3)
+        report["cache"] = "hit"
+        print(f"circuit cache hit ({report['cache_load_s']}s)", file=out)
+    else:
+        t0 = time.time()
+        b = CircuitBuilder(cfg)
+        target = lc.add_virtual_proof_target(b, committee_size, threshold)
+        b.register_public_inputs(target.cur_state)
+        b.register_public_inputs(target.new_state)
+        data = b.build()
+        report["build_s"] = round(time.time() - t0, 3)
     report["gate_counts"] = _gate_counts(data)
     report["rows_used"] = data.num_rows_used
     report["degree_bits"] = data.log_n  # main.rs:228 "degree - {}"
@@ -145,14 +159,25 @@ def run(
     if skip_prove:
         return report
 
-    t0 = time.time()
-    pd, vk = pr.preprocess(data)
-    report["preprocess_s"] = round(time.time() - t0, 3)
+    if pd is None:
+        t0 = time.time()
+        pd, vk = pr.preprocess(data)
+        report["preprocess_s"] = round(time.time() - t0, 3)
+        if cache_dir:
+            t0 = time.time()
+            ser.save_circuit(ser.cache_dir_for(cache_dir, key), data, pd, extras=target)
+            report["cache_save_s"] = round(time.time() - t0, 3)
+            print(f"circuit cached in {report['cache_save_s']}s", file=out)
 
     t0 = time.time()
     proof = pr.prove(pd, w)
     report["prove_s"] = round(time.time() - t0, 3)
     print(f"proved in {int(report['prove_s'] * 1000)}ms", file=out)  # main.rs:232
+
+    if save_proof_path:
+        ser.save_proof(save_proof_path, proof)
+        proof = ser.load_proof(save_proof_path)  # verify the round-tripped proof
+        print(f"proof saved to {save_proof_path}", file=out)
 
     t0 = time.time()
     verify(data, vk, proof)
@@ -162,8 +187,16 @@ def run(
     cur_hex, new_hex = _public_inputs_hex(proof.public_inputs)
     report["cur_state"] = cur_hex
     report["new_state"] = new_hex
-    assert cur_hex == witness_kwargs["cur_state"].hex()
-    assert new_hex == witness_kwargs["new_state"].hex()
+    if cur_hex != witness_kwargs["cur_state"].hex():
+        raise SystemExit(
+            f"public-input mismatch: proof cur_state 0x{cur_hex} != host SSZ "
+            f"0x{witness_kwargs['cur_state'].hex()}"
+        )
+    if new_hex != witness_kwargs["new_state"].hex():
+        raise SystemExit(
+            f"public-input mismatch: proof new_state 0x{new_hex} != host SSZ "
+            f"0x{witness_kwargs['new_state'].hex()}"
+        )
     print(f"public inputs: cur_state=0x{cur_hex} new_state=0x{new_hex}", file=out)
     return report
 
@@ -179,9 +212,13 @@ def main(argv=None):
     p.add_argument("--query-rounds", type=int, default=28)
     p.add_argument("--skip-prove", action="store_true", help="build circuit + witness only")
     p.add_argument("--json", action="store_true", help="emit the report as one JSON line")
+    p.add_argument("--cache-dir", help="directory for built-circuit/preprocess caching")
+    p.add_argument("--save-proof", help="write the proof here (and verify the reloaded copy)")
     args = p.parse_args(argv)
 
-    if args.synthetic:
+    if args.synthetic is not None:
+        if args.synthetic < 2:
+            p.error("--synthetic N requires N >= 2 (power of two)")
         from .eth.synthetic import make_synthetic_update_pair
 
         syn = make_synthetic_update_pair(args.synthetic, seed=args.seed)
@@ -204,6 +241,8 @@ def main(argv=None):
         pow_bits=args.pow_bits,
         query_rounds=args.query_rounds,
         skip_prove=args.skip_prove,
+        cache_dir=args.cache_dir,
+        save_proof_path=args.save_proof,
     )
     if args.json:
         print(json.dumps(report))

@@ -74,7 +74,7 @@ def sync_committee_root(pubkeys: list[bytes], aggregate_pubkey: bytes) -> bytes:
     height-1 tree, then the 2-field container root.  Any power-of-two
     committee size is supported (reduced synthetic committees use the
     same shape at a smaller height)."""
-    assert len(pubkeys) & (len(pubkeys) - 1) == 0
+    assert pubkeys and len(pubkeys) & (len(pubkeys) - 1) == 0
     chunks = []
     for pk in pubkeys:
         l, r = pubkey_leaves(pk)

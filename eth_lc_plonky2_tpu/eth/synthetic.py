@@ -150,7 +150,9 @@ def make_synthetic_update_pair(
     new_sync_committee_ii = c2
 
     # --- participation -------------------------------------------------------
-    threshold = 342 if committee_size == 512 else (2 * committee_size) // 3
+    from ..models.lc_circuit import default_threshold
+
+    threshold = default_threshold(committee_size)
     if participation is None:
         participation = committee_size
     bits = [1] * participation + [0] * (committee_size - participation)

@@ -44,6 +44,17 @@ SYNC_COMMITTEE_SIZE = 512
 G1_PUBKEY_SIZE = 48
 
 
+def default_threshold(committee_size: int) -> int:
+    """Participation threshold (participation must be STRICTLY greater).
+
+    Mainnet: FINALITY_THRESHOLD = 342 (targets.rs:29).  Reduced
+    synthetic committees use the same rule, ceil(2/3 * size).
+    """
+    if committee_size == SYNC_COMMITTEE_SIZE:
+        return FINALITY_THRESHOLD
+    return -(-2 * committee_size // 3)
+
+
 # ---------------------------------------------------------------------------
 # SigningRoot (targets.rs:121-145)
 # ---------------------------------------------------------------------------
@@ -358,11 +369,12 @@ def add_virtual_proof_target(
     absorption, which plugs into signing_root_bytes / signature_bytes /
     pubkey bytes when the recursion layer is enabled).
 
-    `threshold` defaults to the mainnet FINALITY_THRESHOLD (342,
-    targets.rs:29) at committee_size=512 and to ceil(2/3 * size) for
-    reduced synthetic committees."""
+    `threshold` defaults to default_threshold(committee_size): the
+    mainnet FINALITY_THRESHOLD (342, targets.rs:29) at
+    committee_size=512 and ceil(2/3 * size) for reduced synthetic
+    committees."""
     if threshold is None:
-        threshold = FINALITY_THRESHOLD if committee_size == SYNC_COMMITTEE_SIZE else (2 * committee_size) // 3
+        threshold = default_threshold(committee_size)
     signing_root_bytes = b.add_virtual_targets(32)
     signing_root = [read_u32_be(b, signing_root_bytes, 4 * i) for i in range(8)]
     domain = gs.add_virtual_hash256(b)

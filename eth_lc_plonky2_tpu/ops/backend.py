@@ -33,6 +33,10 @@ if not USE_NUMPY:
     def associative_scan(fn, elems, axis=0):
         return jax.lax.associative_scan(fn, elems, axis=axis)
 
+    def device_get(pytree):
+        """One batched device->host transfer of a whole pytree."""
+        return jax.device_get(pytree)
+
 else:
     import numpy as xp  # noqa: F401
     from jax import tree_util as _tree
@@ -75,3 +79,6 @@ else:
             acc = fn(acc, cur)
             outs.append(acc)
         return _tree.tree_map(lambda *vs: xp.stack(vs), *outs)
+
+    def device_get(pytree):
+        return _tree.tree_map(xp.asarray, pytree)

@@ -97,6 +97,44 @@ def eq(x, y):
     return gl.eq(x[0], y[0]) & gl.eq(x[1], y[1])
 
 
+def powers_device(z, n: int):
+    """[1, z, ..., z^(n-1)] for a traced ext scalar z = ((lo,hi),(lo,hi)) of shape ().
+
+    Log-doubling (O(log n) vector ops) so openings at a traced zeta run
+    fully on device — replaces the prover's former O(n) host loop of
+    ext muls (round-1 hot spot).
+    """
+    from .backend import xp as jnp
+
+    one_re, one_im = (gl.ones(()), gl.zeros(()))
+    out = (
+        (jnp.stack([one_re[0], z[0][0]]), jnp.stack([one_re[1], z[0][1]])),
+        (jnp.stack([one_im[0], z[1][0]]), jnp.stack([one_im[1], z[1][1]])),
+    )
+    if n == 1:
+        return ((out[0][0][:1], out[0][1][:1]), (out[1][0][:1], out[1][1][:1]))
+    while out[0][0].shape[0] < n:
+        k = out[0][0].shape[0]
+        take = min(k, n - k)
+        last = ((out[0][0][k - 1], out[0][1][k - 1]), (out[1][0][k - 1], out[1][1][k - 1]))
+        z1 = ((out[0][0][1], out[0][1][1]), (out[1][0][1], out[1][1][1]))
+        factor = mul(last, z1)  # z^k
+        fac_b = (
+            (jnp.broadcast_to(factor[0][0], (take,)), jnp.broadcast_to(factor[0][1], (take,))),
+            (jnp.broadcast_to(factor[1][0], (take,)), jnp.broadcast_to(factor[1][1], (take,))),
+        )
+        blk = ((out[0][0][:take], out[0][1][:take]), (out[1][0][:take], out[1][1][:take]))
+        nxt = mul(blk, fac_b)
+        out = (
+            (jnp.concatenate([out[0][0], nxt[0][0]]), jnp.concatenate([out[0][1], nxt[0][1]])),
+            (jnp.concatenate([out[1][0], nxt[1][0]]), jnp.concatenate([out[1][1], nxt[1][1]])),
+        )
+    return (
+        (out[0][0][:n], out[0][1][:n]),
+        (out[1][0][:n], out[1][1][:n]),
+    )
+
+
 def select(cond, x, y):
     return (gl.select(cond, x[0], y[0]), gl.select(cond, x[1], y[1]))
 

@@ -178,6 +178,23 @@ def sum_field(f, axis: int = -1):
     return (lo[..., 0], hi[..., 0])
 
 
+def prod_field(f, axis: int = -1):
+    """Field-product reduction along an axis via pairwise tree reduction.
+
+    Axis length must be a power of two (true for permutation chunks).
+    """
+    lo = jnp.moveaxis(f[0], axis, -1)
+    hi = jnp.moveaxis(f[1], axis, -1)
+    n = lo.shape[-1]
+    assert n & (n - 1) == 0
+    while n > 1:
+        a = (lo[..., 0::2], hi[..., 0::2])
+        b = (lo[..., 1::2], hi[..., 1::2])
+        lo, hi = gl.mul(a, b)
+        n = lo.shape[-1]
+    return (lo[..., 0], hi[..., 0])
+
+
 @jit
 def eval_poly(coeffs, x):
     """Evaluate polynomial (coeffs on last axis) at scalar x, vectorized.

@@ -8,9 +8,14 @@ opening polynomial
     G(x) = sum_j beta_j * (B_j(x) - y_j) / (x - z_j)
 
 is evaluated on the whole LDE coset as ONE jitted program per circuit
-(challenges enter as traced arguments), committed in pair-leaves
-[G(j), G(j+N/2)] so each query needs one path per layer, then folded
-with per-layer transcript challenges (one jitted fold per layer size).
+(challenges enter as traced arguments; the per-point denominators are
+inverted with a Montgomery pass across opening points so the whole
+kernel pays ONE Fermat inversion), committed in pair-leaves
+[G(j), G(j+N/2)], then folded with per-layer transcript challenges.
+
+Device discipline: fold layers and their Merkle trees stay on device;
+the host sees caps, the final polynomial, the PoW result, and one
+batched gather of all query rows/paths.
 """
 
 from __future__ import annotations
@@ -19,14 +24,14 @@ import dataclasses
 
 import numpy as np
 
-from ..ops.backend import xp as jnp, jit
+from ..ops.backend import xp as jnp, jit, device_get
 
 from ..ops import goldilocks as gl
 from ..ops import goldilocks_ext as ge
 from ..ops import host_field as hf
 from ..ops import ntt as nttm
 from ..ops import poseidon as pos
-from .merkle import build_merkle, merkle_path, MerkleTree
+from .merkle import MerkleTree, gather_rows_and_paths
 from .transcript import Challenger
 
 P = gl.P
@@ -64,13 +69,6 @@ def _ext_mul(x, y):
     return (gl.add(ac, gl.mul(w, bd)), gl.add(ad, bc))
 
 
-def _ext_inv(x):
-    w = gl.full(x[0][0].shape, ge.W)
-    norm = gl.sub(gl.square(x[0]), gl.mul(w, gl.square(x[1])))
-    ninv = gl.inv(norm)
-    return (gl.mul(x[0], ninv), gl.mul(gl.neg(x[1]), ninv))
-
-
 def make_g_kernel(pd, counts: dict, num_specs: int, spec_tags: tuple):
     """G(x) over the LDE domain; all proof scalars are traced args."""
     data = pd.data
@@ -104,15 +102,36 @@ def make_g_kernel(pd, counts: dict, num_specs: int, spec_tags: tuple):
         x_dev = gl.from_u64(x_u64)
         yre, yim = y_f
         zre, zim = z_f
+
+        # denominators (x - z_j) for every spec, inverted together:
+        # norms n_j = re_j^2 - W*im_j^2; Montgomery prefix across specs +
+        # ONE Fermat inversion of an (n_lde,) array + backward recovery.
+        den_res, den_ims, norms = [], [], []
+        w_arr = gl.full((n_lde,), ge.W)
+        for j in range(num_specs):
+            dre = gl.sub(x_dev, _bc(((zre[0][j]), (zre[1][j])), (n_lde,)))
+            dim = gl.neg(_bc(((zim[0][j]), (zim[1][j])), (n_lde,)))
+            den_res.append(dre)
+            den_ims.append(dim)
+            norms.append(gl.sub(gl.square(dre), gl.mul(w_arr, gl.square(dim))))
+        prefix = [norms[0]]
+        for j in range(1, num_specs):
+            prefix.append(gl.mul(prefix[-1], norms[j]))
+        inv_p = gl.inv(prefix[-1])  # the single Fermat inversion
+        norm_invs = [None] * num_specs
+        for j in range(num_specs - 1, -1, -1):
+            norm_invs[j] = gl.mul(inv_p, prefix[j - 1]) if j > 0 else inv_p
+            inv_p = gl.mul(inv_p, norms[j])
+
         g_re = None
         g_im = None
         for j in range(num_specs):
             tag = spec_tags[j]
             numer = (gl.sub(b_tag[tag][0], _bc(((yre[0][j]), (yre[1][j])), (n_lde,))),
                      gl.sub(b_tag[tag][1], _bc(((yim[0][j]), (yim[1][j])), (n_lde,))))
-            denom = (gl.sub(x_dev, _bc(((zre[0][j]), (zre[1][j])), (n_lde,))),
-                     gl.neg(_bc(((zim[0][j]), (zim[1][j])), (n_lde,))))
-            term = _ext_mul(numer, _ext_inv(denom))
+            inv_denom = (gl.mul(den_res[j], norm_invs[j]),
+                         gl.mul(gl.neg(den_ims[j]), norm_invs[j]))
+            term = _ext_mul(numer, inv_denom)
             bj = total + j
             beta_j = ((_bc(((apre[0][bj]), (apre[1][bj])), (n_lde,))),
                       (_bc(((apim[0][bj]), (apim[1][bj])), (n_lde,))))
@@ -147,14 +166,27 @@ def _lde_x(log_n: int, rate_bits: int) -> np.ndarray:
     return hf.mul(np.uint64(SHIFT), hf.powers(w, n_lde))
 
 
-def _layer_tree(evals) -> MerkleTree:
+@jit(static_argnames=("cap_height",))
+def _layer_tree_core(g_re, g_im, cap_height: int):
     """Commit an ext layer with pair leaves [re_j, im_j, re_j', im_j']."""
-    re = np.asarray(gl.to_u64(evals[0]))
-    im = np.asarray(gl.to_u64(evals[1]))
-    n = re.shape[0]
+    n = g_re[0].shape[0]
     h = n // 2
-    leaves = np.stack([re[:h], im[:h], re[h:], im[h:]], axis=1)  # (h, 4)
-    return build_merkle(leaves, layer_cap_height(h))
+    leaves = (
+        jnp.stack([g_re[0][:h], g_im[0][:h], g_re[0][h:], g_im[0][h:]], axis=1),
+        jnp.stack([g_re[1][:h], g_im[1][:h], g_re[1][h:], g_im[1][h:]], axis=1),
+    )  # (h, 4)
+    digests = pos.hash_no_pad(leaves)
+    levels = [digests]
+    while levels[-1][0].shape[0] > (1 << cap_height):
+        cur = levels[-1]
+        nxt = pos.compress((cur[0][0::2], cur[1][0::2]), (cur[0][1::2], cur[1][1::2]))
+        levels.append(nxt)
+    return leaves, levels
+
+
+def _layer_tree(evals, cap_height: int) -> MerkleTree:
+    leaves, levels = _layer_tree_core(evals[0], evals[1], cap_height)
+    return MerkleTree(leaves=leaves, levels=levels, cap_height=cap_height, leaf_axis=0)
 
 
 def layer_cap_height(num_leaves: int) -> int:
@@ -209,7 +241,7 @@ def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenge
     ldes = tuple(batches[t].lde for t in tags)
     g = gk(ldes, apow_f, y_f, z_f)
 
-    # --- commit phase ---
+    # --- commit phase (device-resident trees; host sees only caps) ---
     trees = []
     evals = g
     size = n_lde
@@ -217,9 +249,9 @@ def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenge
     inv2 = gl.h_inv(2)
     stop_size = 1 << (fri_cfg.final_poly_bits + fri_cfg.rate_bits)
     while size > stop_size:
-        tree = _layer_tree(evals)
+        tree = _layer_tree(evals, layer_cap_height(size // 2))
         trees.append(tree)
-        ch.observe_cap(tree.cap)
+        ch.observe_cap(tree.cap)  # [device sync: cap transfer]
         beta = ch.challenge_ext()
         h = size // 2
         w = gl.primitive_root_of_unity(size.bit_length() - 1)
@@ -250,28 +282,40 @@ def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenge
     pow_witness = grind(ch, fri_cfg.proof_of_work_bits)
     ch.observe(pow_witness)
 
-    # --- queries ---
+    # --- queries: batched device gathers, ONE transfer for everything ---
     num_q = fri_cfg.num_query_rounds
     indices = [ch.challenge() % n_lde for _ in range(num_q)]
+    idx_arr = np.array(indices, dtype=np.int32)
+    dev_batch = {}
+    for tag in tags:
+        dev_batch[tag] = gather_rows_and_paths(batches[tag].tree, idx_arr)
+    dev_layers = []
+    cur = idx_arr
+    sz = n_lde
+    for tree in trees:
+        h = sz // 2
+        j = cur % h
+        dev_layers.append(gather_rows_and_paths(tree, j))
+        cur = j
+        sz = h
+    host = device_get((dev_batch, dev_layers))  # the one big transfer
+    host_batch = {t: (np.asarray(gl.to_u64(v[0])), np.asarray(gl.to_u64(v[1])))
+                  for t, v in host[0].items()}
+    host_layers = [(np.asarray(gl.to_u64(v[0])), np.asarray(gl.to_u64(v[1])))
+                   for v in host[1]]
+
     query_proofs = []
-    for idx in indices:
-        b_leaves = {}
-        b_paths = {}
-        for tag in tags:
-            tree = batches[tag].tree
-            b_leaves[tag] = tree.leaves[idx].copy()
-            b_paths[tag] = merkle_path(tree, idx)
-        l_leaves = []
-        l_paths = []
-        cur = idx
-        sz = n_lde
-        for tree in trees:
-            h = sz // 2
-            j = cur % h
-            l_leaves.append(tree.leaves[j].copy())
-            l_paths.append(merkle_path(tree, j))
-            cur = j
-            sz = h
+    for qi in range(num_q):
+        b_leaves = {t: host_batch[t][0][qi] for t in tags}
+        b_paths = {
+            t: [host_batch[t][1][qi][d] for d in range(host_batch[t][1].shape[1])]
+            for t in tags
+        }
+        l_leaves = [host_layers[l][0][qi] for l in range(len(trees))]
+        l_paths = [
+            [host_layers[l][1][qi][d] for d in range(host_layers[l][1].shape[1])]
+            for l in range(len(trees))
+        ]
         query_proofs.append(
             FriQueryProof(batch_leaves=b_leaves, batch_paths=b_paths, layer_leaves=l_leaves, layer_paths=l_paths)
         )
@@ -284,20 +328,41 @@ def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenge
     )
 
 
+@jit
+def _grind_core(c_f, ws_lo, thr_hi):
+    """Batched PoW attempt: hash [c, w] for all w; return (found, index).
+
+    The digest's first element d satisfies d < 2^(64-pow_bits) iff its
+    high limb < thr_hi (threshold is a multiple of 2^32 for pow_bits
+    <= 32).
+    """
+    batch = ws_lo.shape[0]
+    lo = jnp.stack([jnp.broadcast_to(c_f[0], (batch,)), ws_lo], axis=1)
+    hi = jnp.stack([jnp.broadcast_to(c_f[1], (batch,)), jnp.zeros_like(ws_lo)], axis=1)
+    digests = pos.hash_no_pad((lo, hi))
+    ok = digests[1][:, 0] < thr_hi
+    idx = jnp.argmax(ok)
+    return ok[idx], idx
+
+
 def grind(ch: Challenger, pow_bits: int) -> int:
     """Find w with hash([c, w])[0] < 2^(64 - pow_bits), batched on device."""
+    assert pow_bits <= 32
     c = ch.challenge()
-    threshold = 1 << (64 - pow_bits)
+    from .prove import scalar_f
+
+    c_f = scalar_f(c)
+    thr_hi = np.uint32((1 << (64 - pow_bits)) >> 32)
     batch = 1 << min(20, pow_bits + 3)
     start = 0
     while True:
-        ws = np.arange(start, start + batch, dtype=np.uint64)
-        inputs = np.stack([np.full(batch, c, dtype=np.uint64), ws], axis=1)
-        digests = np.asarray(gl.to_u64(pos.hash_no_pad(gl.from_u64(inputs))))
-        ok = np.nonzero(digests[:, 0] < threshold)[0]
-        if ok.size:
-            return int(ws[ok[0]])
+        # witnesses fit 32 bits in practice (expected tries ~2^pow_bits)
+        ws_lo = jnp.asarray(np.arange(start, start + batch, dtype=np.uint32))
+        found, idx = _grind_core(c_f, ws_lo, thr_hi)
+        if bool(found):
+            return start + int(idx)
         start += batch
+        assert start < (1 << 32), "PoW witness exceeded 32 bits"
 
 
 def verify_pow(c: int, witness: int, pow_bits: int) -> bool:

@@ -12,6 +12,13 @@ Jit discipline (TPU-first): each prover stage is ONE jitted program
 per circuit shape; all proof-dependent scalars (Fiat-Shamir
 challenges, zeta, public inputs) enter as traced arguments so a
 circuit compiles once and proves many times with zero retracing.
+
+Host<->device traffic discipline: commitments (LDEs, Merkle levels)
+stay ON DEVICE for the whole prove; the host only ever sees Merkle
+caps (for the transcript), opening values, the FRI final polynomial,
+and one batched gather of all query rows/paths at the end.  Round-1
+hot spots (host ext-power loops, numpy permutation polys, per-level
+Merkle syncs) are all device programs now.
 """
 
 from __future__ import annotations
@@ -77,34 +84,35 @@ def _commit_core(vals, rate_bits: int, cap_height: int, from_coeffs: bool = Fals
     else:
         coeffs = nttm.intt(vals)
     lde = nttm.coset_lde(coeffs, rate_bits, SHIFT)
-    leaves = (lde[0].T, lde[1].T)  # (8n, num_polys)
-    digests = pos.hash_no_pad(leaves)
+    digests = pos.hash_no_pad((lde[0].T, lde[1].T))  # leaf j = lde[:, j]
     levels = [digests]
     while levels[-1][0].shape[0] > (1 << cap_height):
         cur = levels[-1]
         nxt = pos.compress((cur[0][0::2], cur[1][0::2]), (cur[0][1::2], cur[1][1::2]))
         levels.append(nxt)
-    return coeffs, lde, leaves, levels
+    return coeffs, lde, levels
 
 
-def _to_tree(leaves, levels, cap_height: int) -> MerkleTree:
-    leaves_u64 = np.asarray(gl.to_u64(leaves))
-    levels_u64 = [np.asarray(gl.to_u64(l)) for l in levels]
-    return MerkleTree(leaves=leaves_u64, levels=levels_u64, cap_height=cap_height)
+def _make_batch(coeffs, lde, levels, cap_height: int) -> CommitmentBatch:
+    tree = MerkleTree(leaves=lde, levels=levels, cap_height=cap_height, leaf_axis=1)
+    return CommitmentBatch(coeffs=coeffs, lde=lde, tree=tree)
+
+
+def commit_field_values(values, rate_bits: int, cap_height: int) -> CommitmentBatch:
+    """values: device field arrays (num_polys, n) on the subgroup H."""
+    coeffs, lde, levels = _commit_core(values, rate_bits, cap_height, from_coeffs=False)
+    return _make_batch(coeffs, lde, levels, cap_height)
 
 
 def commit_values(values_u64: np.ndarray, rate_bits: int, cap_height: int) -> CommitmentBatch:
-    """values: (num_polys, n) u64 on the subgroup H (row i <-> omega^i)."""
-    coeffs, lde, leaves, levels = _commit_core(
-        gl.from_u64(values_u64), rate_bits, cap_height, from_coeffs=False
-    )
-    return CommitmentBatch(coeffs=coeffs, lde=lde, tree=_to_tree(leaves, levels, cap_height))
+    """values: (num_polys, n) u64 host array on the subgroup H."""
+    return commit_field_values(gl.from_u64(values_u64), rate_bits, cap_height)
 
 
 def commit_coeffs(coeffs, rate_bits: int, cap_height: int) -> CommitmentBatch:
     """coeffs: device field arrays (num_polys, n) in coefficient form."""
-    coeffs, lde, leaves, levels = _commit_core(coeffs, rate_bits, cap_height, from_coeffs=True)
-    return CommitmentBatch(coeffs=coeffs, lde=lde, tree=_to_tree(leaves, levels, cap_height))
+    coeffs, lde, levels = _commit_core(coeffs, rate_bits, cap_height, from_coeffs=True)
+    return _make_batch(coeffs, lde, levels, cap_height)
 
 
 # ---------------------------------------------------------------------------
@@ -118,6 +126,7 @@ class ProverData:
     pre_values: np.ndarray  # (num_pre, n) selectors ++ constants ++ sigmas
     pre_batch: CommitmentBatch
     kernels: dict = dataclasses.field(default_factory=dict)
+    dev: dict = dataclasses.field(default_factory=dict)  # device-resident constants
 
 
 @dataclasses.dataclass
@@ -134,7 +143,14 @@ def preprocess(data: CircuitData) -> tuple[ProverData, VerifierKey]:
         data.sigma.astype(np.uint64),
     ])
     batch = commit_values(pre, data.config.rate_bits, data.config.cap_height)
-    return ProverData(data=data, pre_values=pre, pre_batch=batch), VerifierKey(pre_cap=batch.cap)
+    pd = ProverData(data=data, pre_values=pre, pre_batch=batch)
+    nr = data.config.num_routed_wires
+    pd.dev["sigma"] = gl.from_u64(data.sigma[:nr])
+    pd.dev["omega_pows"] = gl.from_u64(
+        hf.powers(gl.primitive_root_of_unity(data.log_n), data.n)
+    )
+    pd.dev["k_shifts"] = gl.from_u64(data.k_shifts[:nr])
+    return pd, VerifierKey(pre_cap=batch.cap)
 
 
 # ---------------------------------------------------------------------------
@@ -197,56 +213,78 @@ def _roll_lde(arr, offset: int, rate_bits: int):
 
 
 # ---------------------------------------------------------------------------
-# Permutation argument
+# Permutation argument (one jitted program per (challenge set) invocation)
 # ---------------------------------------------------------------------------
 
 
-def compute_permutation_polys(pd: ProverData, wires_u64: np.ndarray, beta: int, gamma: int):
-    """Z and partial products for one challenge set.
+@jit(static_argnames=("chunk_size",))
+def _perm_core(wires, sigma, omega_pows, k_shifts, beta_f, gamma_f, chunk_size: int):
+    """Z and partial products for one (beta, gamma) challenge set, on device.
 
-    Output rows: [Z, p_0, ..., p_{m-2}] each length n (u64 host).
-    Chunk m covers routed columns [8m, 8m+8).
+    wires/sigma: (nr, n) field; omega_pows: (n,); k_shifts: (nr,);
+    beta_f/gamma_f: shape-() field scalars.  Returns (m, n) field rows
+    [Z, p_0, ..., p_{m-2}] evaluated on H.
     """
-    data = pd.data
-    cfg = data.config
-    n = data.n
-    nr = cfg.num_routed_wires
-    cs = cfg.permutation_chunk_size
-    m = cfg.num_permutation_chunks
-    omega_pows = hf.powers(gl.primitive_root_of_unity(data.log_n), n)
-    w = wires_u64[:nr]  # (nr, n)
-    beta64 = np.uint64(beta)
-    gamma64 = np.uint64(gamma)
-    ks = data.k_shifts[:nr]
-    id_enc = hf.mul(ks[:, None], omega_pows[None, :])  # (nr, n)
-    num = hf.add(hf.add(w, hf.mul(beta64, id_enc)), gamma64)
-    den = hf.add(hf.add(w, hf.mul(beta64, data.sigma[:nr])), gamma64)
-    num_chunk = np.empty((m, n), dtype=np.uint64)
-    den_chunk = np.empty((m, n), dtype=np.uint64)
-    for k in range(m):
-        acc_n = num[k * cs]
-        acc_d = den[k * cs]
-        for c in range(1, cs):
-            acc_n = hf.mul(acc_n, num[k * cs + c])
-            acc_d = hf.mul(acc_d, den[k * cs + c])
-        num_chunk[k] = acc_n
-        den_chunk[k] = acc_d
-    den_inv = np.asarray(gl.to_u64(gl.inv(gl.from_u64(den_chunk))))
-    ratio_chunk = hf.mul(num_chunk, den_inv)  # (m, n)
-    row_ratio = ratio_chunk[0]
+    nr, n = wires[0].shape
+    cs = chunk_size
+    m = nr // cs
+    shape = (nr, n)
+    beta = _bcast(beta_f, shape)
+    gamma = _bcast(gamma_f, shape)
+    id_enc = gl.mul(
+        (jnp.broadcast_to(k_shifts[0][:, None], shape), jnp.broadcast_to(k_shifts[1][:, None], shape)),
+        (jnp.broadcast_to(omega_pows[0][None, :], shape), jnp.broadcast_to(omega_pows[1][None, :], shape)),
+    )
+    num = gl.add(gl.add(wires, gl.mul(beta, id_enc)), gamma)
+    den = gl.add(gl.add(wires, gl.mul(beta, sigma)), gamma)
+    # per-chunk products: (m, cs, n) -> (m, n), log2(cs) pairwise folds
+    num_chunk = nttm.prod_field((num[0].reshape(m, cs, n), num[1].reshape(m, cs, n)), axis=1)
+    den_chunk = nttm.prod_field((den[0].reshape(m, cs, n), den[1].reshape(m, cs, n)), axis=1)
+    # batch-invert den_chunk across the m axis: m-step prefix products +
+    # ONE Fermat inversion of an (n,) array + m-step backward recovery
+    # (vs m Fermat inversions of (n,) arrays)
+    dens = [(den_chunk[0][k], den_chunk[1][k]) for k in range(m)]
+    prefix = [dens[0]]
     for k in range(1, m):
-        row_ratio = hf.mul(row_ratio, ratio_chunk[k])
-    z = np.ones(n, dtype=np.uint64)
-    pref = associative_scan(lambda a, b: gl.mul(a, b), gl.from_u64(row_ratio), axis=0)
-    pref_u = np.asarray(gl.to_u64(pref))
-    z[1:] = pref_u[:-1]
-    out = np.empty((m, n), dtype=np.uint64)  # [Z, p_0..p_{m-2}]
-    out[0] = z
+        prefix.append(gl.mul(prefix[-1], dens[k]))
+    inv_p = gl.inv(prefix[-1])  # the single Fermat inversion
+    inv_chunks = [None] * m
+    for k in range(m - 1, -1, -1):
+        inv_chunks[k] = gl.mul(inv_p, prefix[k - 1]) if k > 0 else inv_p
+        inv_p = gl.mul(inv_p, dens[k])  # now inv(P_{k-1})
+    ratio = [gl.mul((num_chunk[0][k], num_chunk[1][k]), inv_chunks[k]) for k in range(m)]
+    row_ratio = ratio[0]
+    for k in range(1, m):
+        row_ratio = gl.mul(row_ratio, ratio[k])
+    # Z(w^i) = prod_{j<i} row_ratio_j  (exclusive prefix product along n)
+    pref = associative_scan(lambda a, b: gl.mul(a, b), row_ratio, axis=0)
+    one = gl.ones(())
+    z = (
+        jnp.concatenate([one[0][None], pref[0][:-1]]),
+        jnp.concatenate([one[1][None], pref[1][:-1]]),
+    )
+    out = [z]
     acc = z
     for k in range(m - 1):
-        acc = hf.mul(acc, ratio_chunk[k])
-        out[k + 1] = acc
-    return out
+        acc = gl.mul(acc, ratio[k])
+        out.append(acc)
+    return (jnp.stack([o[0] for o in out]), jnp.stack([o[1] for o in out]))
+
+
+def compute_permutation_polys(pd: ProverData, wires_dev, beta: int, gamma: int):
+    """Device field rows [Z, p_0, ..., p_{m-2}] of shape (m, n)."""
+    cfg = pd.data.config
+    nr = cfg.num_routed_wires
+    w = (wires_dev[0][:nr], wires_dev[1][:nr])
+    return _perm_core(
+        w,
+        pd.dev["sigma"],
+        pd.dev["omega_pows"],
+        pd.dev["k_shifts"],
+        scalar_f(beta),
+        scalar_f(gamma),
+        cfg.permutation_chunk_size,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -277,26 +315,24 @@ def make_quotient_kernel(pd: ProverData):
     m = cfg.num_permutation_chunks
     num_pi = len(data.public_input_targets)
 
-    # static per-circuit domain constants (host precomputed)
+    # static per-circuit domain constants (host precomputed; ONE batched
+    # Fermat inversion over [Z_H, x-1, x-w^r ...] instead of 2+num_pi)
     x_u64 = _lde_domain_u64(data.log_n, rate)
     zh_u64 = _zh_on_lde(data.log_n, rate)
-    zh_inv_u64 = np.asarray(gl.to_u64(gl.inv(gl.from_u64(zh_u64))))
     n_inv = gl.h_inv(n)
     omega = gl.primitive_root_of_unity(data.log_n)
-    # L_0 and PI-row Lagrange evals over the LDE coset
-    denom0 = hf.sub(x_u64, np.uint64(1))
-    l0_u64 = hf.mul(
-        hf.mul(zh_u64, np.asarray(gl.to_u64(gl.inv(gl.from_u64(denom0))))), np.uint64(n_inv)
+    pi_roots = [pow(omega, r, P) for (r, c) in data.public_input_targets]
+    denoms = np.stack(
+        [zh_u64, hf.sub(x_u64, np.uint64(1))]
+        + [hf.sub(x_u64, np.uint64(wr)) for wr in pi_roots]
     )
-    lr_rows = []
-    for (r, c) in data.public_input_targets:
-        wr = pow(omega, r, P)
-        denom = hf.sub(x_u64, np.uint64(wr))
-        lr = hf.mul(
-            hf.mul(zh_u64, np.asarray(gl.to_u64(gl.inv(gl.from_u64(denom))))),
-            np.uint64((wr * n_inv) % P),
-        )
-        lr_rows.append(lr)
+    inv_all = hf.inv(denoms)
+    zh_inv_u64 = inv_all[0]
+    l0_u64 = hf.mul(hf.mul(zh_u64, inv_all[1]), np.uint64(n_inv))
+    lr_rows = [
+        hf.mul(hf.mul(zh_u64, inv_all[2 + k]), np.uint64((wr * n_inv) % P))
+        for k, wr in enumerate(pi_roots)
+    ]
     lr_u64 = np.stack(lr_rows) if lr_rows else np.zeros((0, n_lde), dtype=np.uint64)
 
     A = DeviceBaseAlgebra((n_lde,))
@@ -380,36 +416,42 @@ def _get_kernel(pd: ProverData, name: str, factory):
 
 
 # ---------------------------------------------------------------------------
-# Openings
+# Openings — batched device evaluation at traced ext points
 # ---------------------------------------------------------------------------
 
 
 @jit
-def _open_core(coeffs, zp_re, zp_im):
-    """Evaluate base-coeff polys (batch, n) at ext point given its powers."""
-    re = nttm.sum_field(gl.mul(coeffs, _bcast(zp_re, coeffs[0].shape)), axis=-1)
-    im = nttm.sum_field(gl.mul(coeffs, _bcast(zp_im, coeffs[0].shape)), axis=-1)
-    return re, im
+def _open_core(coeffs, z_re_f, z_im_f):
+    """Evaluate base-coeff polys (batch, n) at k traced ext points.
 
-
-def ext_powers_host(z_ext, n: int):
-    """[1, z, ..., z^(n-1)] in GF(p^2) as two u64 arrays (host)."""
-    re = np.empty(n, dtype=np.uint64)
-    im = np.empty(n, dtype=np.uint64)
-    cur = (1, 0)
-    for i in range(n):
-        re[i] = cur[0]
-        im[i] = cur[1]
-        cur = ge.h_mul(cur, z_ext)
-    return re, im
-
-
-def eval_poly_ext(coeffs, z_ext):
-    """Evaluate base-coeff polynomials (batch, n) at host ext point z_ext."""
+    z_re_f/z_im_f: field arrays of shape (k,).  Returns (re, im) field
+    arrays of shape (k, batch): value of poly b at point j.
+    """
     n = coeffs[0].shape[-1]
-    zr, zi = ext_powers_host(z_ext, n)
-    re, im = _open_core(coeffs, gl.from_u64(zr), gl.from_u64(zi))
-    return re, im
+    k = z_re_f[0].shape[0]
+    outs_re, outs_im = [], []
+    for j in range(k):
+        z = ((z_re_f[0][j], z_re_f[1][j]), (z_im_f[0][j], z_im_f[1][j]))
+        zp_re, zp_im = ge.powers_device(z, n)
+        re = nttm.sum_field(gl.mul(coeffs, _bcast(zp_re, coeffs[0].shape)), axis=-1)
+        im = nttm.sum_field(gl.mul(coeffs, _bcast(zp_im, coeffs[0].shape)), axis=-1)
+        outs_re.append(re)
+        outs_im.append(im)
+    return (
+        (jnp.stack([o[0] for o in outs_re]), jnp.stack([o[1] for o in outs_re])),
+        (jnp.stack([o[0] for o in outs_im]), jnp.stack([o[1] for o in outs_im])),
+    )
+
+
+def eval_poly_ext_many(coeffs, z_exts: list):
+    """Evaluate base-coeff polynomials (batch, n) at host ext points.
+
+    Returns device arrays ((k, batch) re, (k, batch) im) — caller
+    decides when to transfer.
+    """
+    z_re = scalars_f([z[0] for z in z_exts])
+    z_im = scalars_f([z[1] for z in z_exts])
+    return _open_core(coeffs, z_re, z_im)
 
 
 # ---------------------------------------------------------------------------
@@ -425,29 +467,36 @@ def prove(pd: ProverData, witness: Witness) -> Proof:
     cap_h = cfg.cap_height
     m = cfg.num_permutation_chunks
 
-    # 0. witness matrix + public input values
+    # 0. witness matrix + public input values (host -> device ONCE)
     wires_u64 = witness.full_matrix()  # (num_wires, n)
     pi_values = np.array(
         [witness.get(t) for t in data.public_input_targets], dtype=np.uint64
     ).reshape(-1)
+    wires_dev = gl.from_u64(wires_u64)
 
     ch = Challenger()
     ch.observe_cap(pd.pre_batch.cap)
     ch.observe_many([int(v) for v in pi_values])
 
     # 1. commit wires
-    wires_batch = commit_values(wires_u64, rate, cap_h)
-    ch.observe_cap(wires_batch.cap)
+    wires_batch = commit_field_values(wires_dev, rate, cap_h)
+    ch.observe_cap(wires_batch.cap)  # [device sync: cap transfer]
 
-    # 2. permutation challenges + Z/partials
+    # 2. permutation challenges + Z/partials (device kernel per challenge set)
     betas, gammas = [], []
     for _ in range(cfg.num_challenges):
         betas.append(ch.challenge())
         gammas.append(ch.challenge())
-    z_rows = [compute_permutation_polys(pd, wires_u64, betas[j], gammas[j]) for j in range(cfg.num_challenges)]
-    zs_u64 = np.concatenate(z_rows)
-    zs_batch = commit_values(zs_u64, rate, cap_h)
-    ch.observe_cap(zs_batch.cap)
+    z_rows = [
+        compute_permutation_polys(pd, wires_dev, betas[j], gammas[j])
+        for j in range(cfg.num_challenges)
+    ]
+    zs_vals = (
+        jnp.concatenate([z[0] for z in z_rows]),
+        jnp.concatenate([z[1] for z in z_rows]),
+    )
+    zs_batch = commit_field_values(zs_vals, rate, cap_h)
+    ch.observe_cap(zs_batch.cap)  # [device sync]
 
     # 3. quotient (single jitted program; challenges are traced args)
     alphas = [ch.challenge() for _ in range(cfg.num_challenges)]
@@ -462,9 +511,9 @@ def prove(pd: ProverData, witness: Witness) -> Proof:
         scalars_f(alphas),
     )
     quotient_batch = commit_coeffs(chunk_coeffs, rate, cap_h)
-    ch.observe_cap(quotient_batch.cap)
+    ch.observe_cap(quotient_batch.cap)  # [device sync]
 
-    # 4. opening point + openings
+    # 4. opening point + openings (one batched device eval per batch)
     zeta = ch.challenge_ext()
     omega = gl.primitive_root_of_unity(data.log_n)
 
@@ -472,15 +521,25 @@ def prove(pd: ProverData, witness: Witness) -> Proof:
         wo = pow(omega, offset % (1 << data.log_n), P)
         return ge.h_mul(zeta, (wo, 0))
 
-    openings = {}
     point_specs = opening_point_specs(data)
     batches = {"P": pd.pre_batch, "W": wires_batch, "Z": zs_batch, "Q": quotient_batch}
+    # group specs per batch tag, keeping spec order within the tag
+    tag_offsets: dict[str, list[int]] = {}
     for tag, offset in point_specs:
-        z_ext = point_at(offset)
-        re, im = eval_poly_ext(batches[tag].coeffs, z_ext)
-        openings[(tag, offset)] = np.stack(
-            [np.asarray(gl.to_u64(re)), np.asarray(gl.to_u64(im))], axis=1
-        )
+        tag_offsets.setdefault(tag, []).append(offset)
+    open_dev = {}
+    for tag, offs in tag_offsets.items():
+        open_dev[tag] = eval_poly_ext_many(batches[tag].coeffs, [point_at(o) for o in offs])
+    # single transfer of all opening values  [device sync]
+    open_host = {
+        tag: (np.asarray(gl.to_u64(v[0])), np.asarray(gl.to_u64(v[1])))
+        for tag, v in open_dev.items()
+    }
+    openings = {}
+    for tag, offs in tag_offsets.items():
+        re_u, im_u = open_host[tag]
+        for j, off in enumerate(offs):
+            openings[(tag, off)] = np.stack([re_u[j], im_u[j]], axis=1)
 
     for tag, offset in point_specs:
         for row in openings[(tag, offset)]:

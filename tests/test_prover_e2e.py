@@ -159,6 +159,68 @@ class TestProveVerify:
         verify(data, vk, proof)
 
 
+class TestFriTampering:
+    """The verifier's FRI checks must bite: tamper a query path digest,
+    a fold-layer leaf, and a final-poly coefficient (VERDICT round-1
+    weak #6)."""
+
+    def _proved(self):
+        # enough rows that FRI actually folds (n_lde > stop_size)
+        b = CircuitBuilder(TEST_CONFIG)
+        x = b.add_virtual_target()
+        acc = x
+        while len(b.rows) < 120:
+            acc = b.mul_add(acc, x, x)
+        b.register_public_input(acc)
+        data = b.build()
+        assert data.log_n >= 7  # at least 2 fold layers
+        pd, vk = pr.preprocess(data)
+        w = data.new_witness()
+        w.set(x, 3)
+        w.generate()
+        proof = pr.prove(pd, w)
+        assert len(proof.fri_proof.layer_caps) >= 2
+        return data, vk, proof
+
+    def test_tampered_batch_path_rejected(self):
+        data, vk, proof = self._proved()
+        qp = proof.fri_proof.query_proofs[0]
+        qp.batch_paths["W"][0] = (qp.batch_paths["W"][0] + np.uint64(1)) % np.uint64(P)
+        with pytest.raises(VerificationError, match="merkle path"):
+            verify(data, vk, proof)
+
+    def test_tampered_layer_leaf_rejected(self):
+        data, vk, proof = self._proved()
+        qp = proof.fri_proof.query_proofs[0]
+        qp.layer_leaves[0] = (qp.layer_leaves[0] + np.uint64(1)) % np.uint64(P)
+        with pytest.raises(VerificationError, match="FRI layer"):
+            verify(data, vk, proof)
+
+    def test_tampered_layer_path_rejected(self):
+        data, vk, proof = self._proved()
+        qp = proof.fri_proof.query_proofs[0]
+        qp.layer_paths[0][0] = (qp.layer_paths[0][0] + np.uint64(1)) % np.uint64(P)
+        with pytest.raises(VerificationError, match="merkle path"):
+            verify(data, vk, proof)
+
+    def test_tampered_final_poly_rejected(self):
+        data, vk, proof = self._proved()
+        fp = proof.fri_proof
+        fp.final_poly = fp.final_poly.copy()
+        fp.final_poly[0, 0] = (int(fp.final_poly[0, 0]) + 1) % P
+        # the final poly is observed by the transcript, so tampering it
+        # desynchronizes the query indices AND breaks the evaluation
+        # check; either way the verifier must reject
+        with pytest.raises(VerificationError):
+            verify(data, vk, proof)
+
+    def test_tampered_pow_witness_rejected(self):
+        data, vk, proof = self._proved()
+        proof.fri_proof.pow_witness += 1
+        with pytest.raises(VerificationError):
+            verify(data, vk, proof)
+
+
 class TestWitnessOnly:
     def test_generator_order_and_values(self):
         b = CircuitBuilder(TEST_CONFIG)
