@@ -46,6 +46,10 @@ class HostExtAlgebra:
             acc = self.add(acc, x)
         return acc
 
+    def mul_small(self, c: int, x):
+        """c * x for a small non-negative int constant c < 2^16."""
+        return ((c * x[0]) % P, (c * x[1]) % P)
+
 
 class DeviceBaseAlgebra:
     """Elements are (lo, hi) u32 jnp arrays of one fixed shape."""
@@ -76,3 +80,6 @@ class DeviceBaseAlgebra:
         for x in xs:
             acc = x if acc is None else gl.add(acc, x)
         return acc if acc is not None else self.zero()
+
+    def mul_small(self, c: int, x):
+        return gl.mul_small(x, c)

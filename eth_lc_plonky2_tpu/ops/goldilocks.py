@@ -241,9 +241,37 @@ def square(a):
 
 
 def mul_small(a, k: int):
-    """a * k for a small canonical constant k (traced as a full mul)."""
+    """a * k for a small constant k < 2^16 — ~3x cheaper than full mul.
+
+    16-bit limb products keep every partial < 2^48; composed into a
+    96-bit value (r0, r1, r2) and reduced once.
+    """
+    assert 0 <= k < (1 << 16)
+    if k == 0:
+        return zeros(a[0].shape)
+    if k == 1:
+        return a
     al, ah = a
-    return mul(a, full(al.shape, k))
+    ku = np.uint32(k)
+    m16 = _MASK16
+    p0 = (al & m16) * ku  # < 2^32
+    p1 = (al >> np.uint32(16)) * ku
+    p2 = (ah & m16) * ku
+    p3 = (ah >> np.uint32(16)) * ku
+    # r0 = p0 + (p1 << 16); carry c0
+    t = p1 << np.uint32(16)
+    r0 = p0 + t
+    c0 = (r0 < t).astype(U32)
+    # r1 = (p1 >> 16) + p2 + (p3 << 16) + c0; collect carries
+    t2 = p3 << np.uint32(16)
+    s = (p1 >> np.uint32(16)) + p2  # < 2^33? p1>>16 < 2^16, p2 < 2^32 -> < 2^32+2^16 may wrap
+    cs = (s < p2).astype(U32)
+    r1 = s + t2
+    c1 = (r1 < t2).astype(U32)
+    r1 = r1 + c0
+    c2 = (r1 < c0).astype(U32)
+    r2 = (p3 >> np.uint32(16)) + cs + c1 + c2
+    return _reduce128(r0, r1, r2, jnp.zeros_like(r2))
 
 
 def _pow_bits(a, bits_lsb_first):

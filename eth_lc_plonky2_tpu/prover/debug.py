@@ -46,6 +46,9 @@ class _HostRowAlgebra:
             acc = hf.add(acc, x)
         return acc
 
+    def mul_small(self, c: int, x):
+        return hf.mul(np.uint64(c % P), x)
+
 
 def check_constraints(data: CircuitData, wires_u64: np.ndarray, pi_values=None) -> list:
     """Returns a list of violation records: (kind, detail, rows)."""

@@ -193,8 +193,13 @@ def layer_cap_height(num_leaves: int) -> int:
     return min(4, num_leaves.bit_length() - 1)
 
 
-def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenger) -> FriProof:
+def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenger, prof=None) -> FriProof:
     from .prove import scalars_f  # local import to avoid cycle
+    from .profiler import Profiler
+
+    if prof is None:
+        prof = Profiler(enabled=False)
+    prof.phase("fri_g_setup")
 
     data = pd.data
     cfg = data.config
@@ -238,10 +243,12 @@ def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenge
     apow_f = (scalars_f([a[0] for a in apow]), scalars_f([a[1] for a in apow]))
     y_f = (scalars_f([y[0] for y in ys]), scalars_f([y[1] for y in ys]))
     z_f = (scalars_f([z[0] for z in zs]), scalars_f([z[1] for z in zs]))
+    prof.phase("fri_g_kernel")
     ldes = tuple(batches[t].lde for t in tags)
     g = gk(ldes, apow_f, y_f, z_f)
 
     # --- commit phase (device-resident trees; host sees only caps) ---
+    prof.phase("fri_folds", g)
     trees = []
     evals = g
     size = n_lde
@@ -265,6 +272,7 @@ def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenge
         size = h
         shift = (shift * shift) % P
     # --- final polynomial ---
+    prof.phase("fri_final_poly", evals)
     final_len = size >> fri_cfg.rate_bits
     c_re = nttm.coset_intt(evals[0], 0, shift)
     c_im = nttm.coset_intt(evals[1], 0, shift)
@@ -279,10 +287,12 @@ def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenge
         ch.observe(int(coeff[1]))
 
     # --- proof of work ---
+    prof.phase("fri_pow")
     pow_witness = grind(ch, fri_cfg.proof_of_work_bits)
     ch.observe(pow_witness)
 
     # --- queries: batched device gathers, ONE transfer for everything ---
+    prof.phase("fri_queries")
     num_q = fri_cfg.num_query_rounds
     indices = [ch.challenge() % n_lde for _ in range(num_q)]
     idx_arr = np.array(indices, dtype=np.int32)

@@ -38,6 +38,7 @@ from ..circuit.algebra import DeviceBaseAlgebra
 from ..circuit.builder import CircuitData, Witness
 from . import fri as frim
 from .merkle import MerkleTree
+from .profiler import Profiler
 from .transcript import Challenger
 
 P = gl.P
@@ -459,13 +460,19 @@ def eval_poly_ext_many(coeffs, z_exts: list):
 # ---------------------------------------------------------------------------
 
 
-def prove(pd: ProverData, witness: Witness) -> Proof:
+def prove(pd: ProverData, witness: Witness, put=None) -> Proof:
+    """put: optional fn(field_pair) -> field_pair applied to the witness
+    matrix on upload — the sharded prover (parallel/prover.py) uses it
+    to place the wires with a NamedSharding so XLA partitions every
+    downstream kernel."""
     data = pd.data
     cfg = data.config
     n = data.n
     rate = cfg.rate_bits
     cap_h = cfg.cap_height
     m = cfg.num_permutation_chunks
+    prof = Profiler.current()
+    prof.phase("witness_matrix")
 
     # 0. witness matrix + public input values (host -> device ONCE)
     wires_u64 = witness.full_matrix()  # (num_wires, n)
@@ -473,16 +480,20 @@ def prove(pd: ProverData, witness: Witness) -> Proof:
         [witness.get(t) for t in data.public_input_targets], dtype=np.uint64
     ).reshape(-1)
     wires_dev = gl.from_u64(wires_u64)
+    if put is not None:
+        wires_dev = put(wires_dev)
 
     ch = Challenger()
     ch.observe_cap(pd.pre_batch.cap)
     ch.observe_many([int(v) for v in pi_values])
 
     # 1. commit wires
+    prof.phase("commit_wires")
     wires_batch = commit_field_values(wires_dev, rate, cap_h)
     ch.observe_cap(wires_batch.cap)  # [device sync: cap transfer]
 
     # 2. permutation challenges + Z/partials (device kernel per challenge set)
+    prof.phase("perm_polys")
     betas, gammas = [], []
     for _ in range(cfg.num_challenges):
         betas.append(ch.challenge())
@@ -495,10 +506,12 @@ def prove(pd: ProverData, witness: Witness) -> Proof:
         jnp.concatenate([z[0] for z in z_rows]),
         jnp.concatenate([z[1] for z in z_rows]),
     )
+    prof.phase("commit_zs", zs_vals)
     zs_batch = commit_field_values(zs_vals, rate, cap_h)
     ch.observe_cap(zs_batch.cap)  # [device sync]
 
     # 3. quotient (single jitted program; challenges are traced args)
+    prof.phase("quotient")
     alphas = [ch.challenge() for _ in range(cfg.num_challenges)]
     qk = _get_kernel(pd, "quotient", lambda: make_quotient_kernel(pd))
     chunk_coeffs = qk(
@@ -510,10 +523,12 @@ def prove(pd: ProverData, witness: Witness) -> Proof:
         scalars_f(gammas),
         scalars_f(alphas),
     )
+    prof.phase("commit_quotient", chunk_coeffs)
     quotient_batch = commit_coeffs(chunk_coeffs, rate, cap_h)
     ch.observe_cap(quotient_batch.cap)  # [device sync]
 
     # 4. opening point + openings (one batched device eval per batch)
+    prof.phase("openings")
     zeta = ch.challenge_ext()
     omega = gl.primitive_root_of_unity(data.log_n)
 
@@ -547,8 +562,12 @@ def prove(pd: ProverData, witness: Witness) -> Proof:
             ch.observe(int(row[1]))
 
     # 5. FRI on the combined opening polynomial
+    prof.phase("fri")
     fri_alpha = ch.challenge_ext()
-    fri_proof = frim.fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch)
+    fri_proof = frim.fri_prove(
+        pd, batches, openings, point_specs, zeta, fri_alpha, ch, prof=prof
+    )
+    prof.finish()
 
     return Proof(
         public_inputs=pi_values,

@@ -25,6 +25,10 @@ if _REPO_ROOT not in sys.path:
 # the dominant test cost; cache them across runs.
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS from the
+# environment; the config knob wins.  Tests must NEVER touch the real
+# chip — they run on 8 virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO_ROOT, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
