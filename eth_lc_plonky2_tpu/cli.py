@@ -9,12 +9,15 @@ Behavioral parity with /root/reference/eth-lc-plonky2/src/main.rs:31-234
 (minus the live beacon-RPC fetch: input comes from light-client-update
 JSON files of the fixture schema, or from the synthetic generator).
 The BLS sub-proof (main.rs:172, starky_bls12_381::aggregate_proof) is a
-pluggable inner-proof provider; until the recursion layer absorbs it,
-its byte inputs (signing root / signature / pubkeys) are bound as
-witness values with identical layout.
+pluggable inner-proof provider; with `--bls dummy` a stand-in inner
+circuit with the exact targets.rs:471-482 PI layout is proven and
+absorbed in-circuit through the recursion layer (verify_proof_circuit),
+binding signing root / signature / pubkeys / participation bits
+index-for-index.
 
 Usage:
   python -m eth_lc_plonky2_tpu.cli --synthetic 16
+  python -m eth_lc_plonky2_tpu.cli --synthetic 8 --bls dummy
   python -m eth_lc_plonky2_tpu.cli --cur-update PATH --new-update PATH
 """
 
@@ -109,6 +112,7 @@ def run(
     skip_prove: bool = False,
     cache_dir: str | None = None,
     save_proof_path: str | None = None,
+    bls_mode: str | None = None,
     out=sys.stdout,
 ) -> dict:
     from .circuit.builder import CircuitBuilder
@@ -126,9 +130,32 @@ def run(
         fri=FriConfig(proof_of_work_bits=pow_bits, num_query_rounds=query_rounds),
     )
 
+    # BLS sub-proof (main.rs:172): with --bls dummy, prove a stand-in
+    # inner circuit with the exact targets.rs:471-482 PI layout and
+    # absorb it in-circuit via the recursion layer.
+    bls_inner = None
+    if bls_mode == "dummy":
+        from .models import bls as blsm
+
+        t0 = time.time()
+        inner_fri = FriConfig(proof_of_work_bits=min(pow_bits, 8),
+                              num_query_rounds=min(query_rounds, 12))
+        bls_data = blsm.build_dummy_bls_circuit(committee_size, fri=inner_fri)
+        bls_proof, bls_vk = blsm.prove_dummy_bls(
+            bls_data,
+            witness_kwargs["signing_root"],
+            witness_kwargs["signature"],
+            witness_kwargs["sync_committee_pubkeys"],
+            witness_kwargs["sync_committee_bits"],
+        )
+        bls_inner = (bls_data, bls_proof, bls_vk)
+        report["bls_inner_prove_s"] = round(time.time() - t0, 3)
+        print(f"BLS inner proof (dummy wrapper) in {report['bls_inner_prove_s']}s", file=out)
+
     pd = vk = target = data = None
-    key = ser.cache_key("lc_circuit", committee_size, threshold, cfg)
-    if cache_dir and ser.has_cached_circuit(cache_dir, key):
+    bls_targets = None
+    key = ser.cache_key("lc_circuit", committee_size, threshold, cfg, bls_mode)
+    if cache_dir and bls_inner is None and ser.has_cached_circuit(cache_dir, key):
         t0 = time.time()
         target, data, pd, vk = ser.load_circuit(ser.cache_dir_for(cache_dir, key))
         report["build_s"] = report["preprocess_s"] = 0.0
@@ -139,6 +166,10 @@ def run(
         t0 = time.time()
         b = CircuitBuilder(cfg)
         target = lc.add_virtual_proof_target(b, committee_size, threshold)
+        if bls_inner is not None:
+            from .models import bls as blsm
+
+            bls_targets = blsm.absorb_bls_proof(b, target, bls_inner[0])
         b.register_public_inputs(target.cur_state)
         b.register_public_inputs(target.new_state)
         data = b.build()
@@ -152,6 +183,10 @@ def run(
     t0 = time.time()
     w = data.new_witness()
     lc.set_proof_target(w, target, **witness_kwargs)
+    if bls_targets is not None:
+        from .models import bls as blsm
+
+        blsm.set_bls_proof_target(w, *bls_targets, bls_inner[1], bls_inner[2])
     w.generate()
     report["witness_s"] = round(time.time() - t0, 3)
     print(f"witness generated in {report['witness_s']}s", file=out)
@@ -163,7 +198,7 @@ def run(
         t0 = time.time()
         pd, vk = pr.preprocess(data)
         report["preprocess_s"] = round(time.time() - t0, 3)
-        if cache_dir:
+        if cache_dir and bls_inner is None:
             t0 = time.time()
             ser.save_circuit(ser.cache_dir_for(cache_dir, key), data, pd, extras=target)
             report["cache_save_s"] = round(time.time() - t0, 3)
@@ -214,6 +249,9 @@ def main(argv=None):
     p.add_argument("--json", action="store_true", help="emit the report as one JSON line")
     p.add_argument("--cache-dir", help="directory for built-circuit/preprocess caching")
     p.add_argument("--save-proof", help="write the proof here (and verify the reloaded copy)")
+    p.add_argument("--bls", choices=["dummy"], dest="bls_mode",
+                   help="absorb a BLS sub-proof in-circuit via the recursion layer "
+                        "(dummy = stand-in inner circuit with the targets.rs:471-482 PI layout)")
     args = p.parse_args(argv)
 
     if args.synthetic is not None:
@@ -243,6 +281,7 @@ def main(argv=None):
         skip_prove=args.skip_prove,
         cache_dir=args.cache_dir,
         save_proof_path=args.save_proof,
+        bls_mode=args.bls_mode,
     )
     if args.json:
         print(json.dumps(report))

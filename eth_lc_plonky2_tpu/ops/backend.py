@@ -22,6 +22,20 @@ if not USE_NUMPY:
     import jax
     import jax.numpy as xp  # noqa: F401
 
+    # Persistent XLA compilation cache: the prover pipeline compiles a
+    # few dozen kernels (20-40 s each on TPU, first time); every entry
+    # point (CLI, bench, graft, tests on the jax backend) shares one
+    # on-disk cache.  Opt out with ELP_JAX_CACHE=0 / override the path
+    # with ELP_JAX_CACHE_DIR.
+    if os.environ.get("ELP_JAX_CACHE", "1") != "0":
+        _cache_dir = os.environ.get("ELP_JAX_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     def jit(fn=None, /, **kwargs):
         if fn is None:
             return lambda f: jax.jit(f, **kwargs)
