@@ -11,7 +11,21 @@ multiplication needs no 16-bit split here.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+
+def _wrapping(fn):
+    """u64 wraparound is intended here; silence numpy's overflow warning
+    (it fires on 0-d/scalar operands and pollutes every CLI/bench tail)."""
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        with np.errstate(over="ignore"):
+            return fn(*args, **kwargs)
+
+    return inner
 
 P = 0xFFFF_FFFF_0000_0001
 EPSILON = np.uint64(0xFFFF_FFFF)  # 2^64 mod p
@@ -26,6 +40,7 @@ def asfield(x) -> np.ndarray:
     return np.asarray(x, dtype=np.uint64) % _P64
 
 
+@_wrapping
 def add(a, b):
     """(a + b) mod p for canonical uint64 arrays."""
     a = np.asarray(a, dtype=np.uint64)
@@ -37,6 +52,7 @@ def add(a, b):
     return np.where(over, s - _P64, s)  # s - p wraps to s + EPSILON on carry
 
 
+@_wrapping
 def sub(a, b):
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
@@ -45,11 +61,13 @@ def sub(a, b):
     return np.where(borrow, d + _P64, d)  # wraps to d - EPSILON
 
 
+@_wrapping
 def neg(a):
     a = np.asarray(a, dtype=np.uint64)
     return np.where(a == _0, _0, _P64 - a)
 
 
+@_wrapping
 def _mul64_wide(a, b):
     """Full 64x64 -> 128 product as (lo64, hi64) uint64 arrays."""
     a = np.asarray(a, dtype=np.uint64)
@@ -69,6 +87,7 @@ def _mul64_wide(a, b):
     return lo, hi
 
 
+@_wrapping
 def _reduce128(lo, hi):
     """Reduce (hi:lo) mod p, canonical, vectorized."""
     hi_hi = hi >> _32  # r3
@@ -128,6 +147,7 @@ def batch_inv(a):
     return out
 
 
+@_wrapping
 def powers(base: int, n: int) -> np.ndarray:
     """[1, base, base^2, ..., base^(n-1)] as uint64, via log-doubling."""
     out = np.ones(n, dtype=np.uint64)
