@@ -19,10 +19,11 @@ Subcircuit map (reference lines in each docstring):
 
 The BLS12-381 aggregate-signature sub-proof (reference layer L5,
 `starky_bls12_381::aggregate_proof`) is a pluggable inner-proof
-provider; its recursive absorption (targets.rs:468-482) lands with the
-recursion layer.  The byte inputs it binds (signing_root_bytes,
-signature_bytes, pubkey bytes) are allocated with identical layout so
-the wiring is already in place.
+provider; its recursive absorption (targets.rs:468-482) is implemented
+in models/bls.py (`absorb_bls_proof`, via circuit/recursion.py's
+in-circuit verifier) and reachable from the CLI with `--bls dummy`.
+The byte inputs it binds (signing_root_bytes, signature_bytes, pubkey
+bytes) are allocated here with identical layout.
 """
 
 from __future__ import annotations

@@ -24,17 +24,28 @@ if not USE_NUMPY:
 
     # Persistent XLA compilation cache: the prover pipeline compiles a
     # few dozen kernels (20-40 s each on TPU, first time); every entry
-    # point (CLI, bench, graft, tests on the jax backend) shares one
-    # on-disk cache.  Opt out with ELP_JAX_CACHE=0 / override the path
-    # with ELP_JAX_CACHE_DIR.
-    if os.environ.get("ELP_JAX_CACHE", "1") != "0":
+    # point (CLI, bench, graft) shares one on-disk cache.  Opt out with
+    # ELP_JAX_CACHE=0 / override the path with ELP_JAX_CACHE_DIR.
+    #
+    # CPU-platform runs (the test suite) deliberately DON'T use it:
+    # XLA:CPU AOT cache entries embed the builder machine's CPU
+    # features, and loading a mismatched entry takes ~60 s per "hit"
+    # (cpu_aot_loader machine-feature errors) — far slower than the
+    # cold compile it replaces.
+    _plat = os.environ.get("JAX_PLATFORMS", "").lower()
+    if os.environ.get("ELP_JAX_CACHE", "1") != "0" and "cpu" not in _plat:
         _cache_dir = os.environ.get("ELP_JAX_CACHE_DIR") or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             ".jax_cache",
         )
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        try:
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        except AttributeError:  # older jax without these knobs: run uncached
+            import warnings
+
+            warnings.warn("jax persistent compilation cache unavailable; continuing without it")
 
     def jit(fn=None, /, **kwargs):
         if fn is None:
