@@ -1,10 +1,21 @@
 """Radix-2 NTT / inverse NTT / coset LDE over Goldilocks, vectorized.
 
-TPU-first design: decimation-in-time with a single precomputed
-bit-reversal gather followed by log2(n) fully-vectorized butterfly
-stages expressed as reshapes + elementwise u32-limb field ops — no
-data-dependent control flow, static shapes, everything fusible by XLA
-(and later replaceable by a Pallas kernel stage-fuser).
+TPU-first design: a CONSTANT-GEOMETRY (Pease) decimation-in-frequency
+formulation under lax.scan — every stage is the identical
+static-shape program (split halves -> butterfly -> perfect-shuffle
+interleave), so the traced graph is O(1) in log2(n) instead of O(log n)
+Python-unrolled stages.  This matters twice on TPU: (a) jit
+trace+lower+compile time stays flat as the domain grows to the 2^19
+LDE of the full light-client circuit, and (b) XLA compiles ONE stage
+body it can schedule well.  One bit-reversal gather at the end
+restores natural order.
+
+Stage derivation: with subproblems kept interleaved, the stage-s
+butterfly always pairs (x[i], x[i+n/2]) with twiddle
+w^((i>>s)<<s) = w^(i & ~(2^s-1)); the output lands bit-reversed.
+The per-stage twiddle is gathered on device from one length-n/2
+power table with a mask that depends on the scan counter — the only
+embedded constant is that table.
 
 Capability parity: the reference's [dep] plonky2_field FFT/IFFT/LDE
 (rate 2^3 coset LDE driven from CircuitData::prove at
@@ -20,7 +31,7 @@ import functools
 
 import numpy as np
 
-from .backend import xp as jnp, jit
+from .backend import xp as jnp, jit, scan, USE_NUMPY
 
 from . import goldilocks as gl
 from . import host_field as hf
@@ -39,26 +50,87 @@ def _bit_reverse_indices(log_n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _plan(log_n: int, inverse: bool):
-    """Precompute bit-reversal indices and per-stage twiddles.
+    """Precompute bit-reversal indices and the half-length power table.
 
     Returns host numpy arrays (never jnp): jit traces may call this, and
     caching device arrays created inside a trace would leak tracers.
     """
     bitrev = _bit_reverse_indices(log_n)
-    stage_tw = []
-    for s in range(1, log_n + 1):
-        m = 1 << s
-        w_m = gl.primitive_root_of_unity(s)
-        if inverse:
-            w_m = gl.h_inv(w_m)
-        tw = hf.powers(w_m, m // 2)
-        stage_tw.append(((tw & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-                         (tw >> np.uint64(32)).astype(np.uint32)))
-    return bitrev, stage_tw
+    w = gl.primitive_root_of_unity(log_n)
+    if inverse:
+        w = gl.h_inv(w)
+    wp = hf.powers(w, max(1, 1 << (log_n - 1)))
+    return bitrev, ((wp & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                    (wp >> np.uint64(32)).astype(np.uint32))
 
 
 def _take_last(f, idx):
     return (jnp.take(f[0], idx, axis=-1), jnp.take(f[1], idx, axis=-1))
+
+
+def _mxu_mod():
+    from .pallas import ntt_mxu
+
+    return ntt_mxu
+
+
+def _scale_inverse(a, n: int):
+    return gl.mul(a, gl.full(a[0].shape, gl.h_inv(n)))
+
+
+@functools.lru_cache(maxsize=None)
+def _level_twiddles(log_n: int, log1: int, inverse: bool):
+    """(n2, n1) four-step twiddle table T[i2, j1r] = w^(i2 * rev(j1r)),
+    with j1 in BIT-REVERSED order (the sub-transforms emit bitrev)."""
+    n1 = 1 << log1
+    n2 = 1 << (log_n - log1)
+    w = gl.primitive_root_of_unity(log_n)
+    if inverse:
+        w = gl.h_inv(w)
+    rev1 = _bit_reverse_indices(log1).astype(np.int64)
+    wp = hf.powers(w, 1 << log_n)
+    i2 = np.arange(n2, dtype=np.int64)[:, None]
+    tw = wp[(i2 * rev1[None, :]) % (1 << log_n)]
+    return ((tw & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (tw >> np.uint64(32)).astype(np.uint32))
+
+
+def _ntt_br_tpu(f, log_k: int, inverse: bool):
+    """(rows, 2^log_k) NTT along the last axis, BIT-REVERSED output.
+
+    Recursive self-sorting four-step over the MXU matmul base kernel:
+    with both sub-transforms emitting bit-reversed order, the
+    composition's flat output j1r*n2 + j2r IS bitrev of j1 + n1*j2,
+    so bit-reversal only needs undoing once, at the top of ntt().
+    """
+    mxu = _mxu_mod()
+    b = f[0].shape[0]
+    if log_k <= 8:
+        pad = (-b) % mxu.TILE_B
+        lo, hi = f
+        if pad:
+            lo = jnp.pad(lo, ((0, pad), (0, 0)))
+            hi = jnp.pad(hi, ((0, pad), (0, 0)))
+        olo, ohi = mxu.ntt_bitrev(lo, hi, inverse)
+        return (olo[:b], ohi[:b])
+    log1 = (log_k + 1) // 2 if log_k <= 16 else 8
+    log2 = log_k - log1
+    n1, n2 = 1 << log1, 1 << log2
+    tw_lo, tw_hi = _level_twiddles(log_k, log1, inverse)
+
+    def cols(x):  # (b, n) -> (b*n2, n1): column view [i2, i1]
+        return x.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b * n2, n1)
+
+    lo, hi = _ntt_br_tpu((cols(f[0]), cols(f[1])), log1, inverse)  # [i2, j1r]
+    lo = lo.reshape(b, n2, n1)
+    hi = hi.reshape(b, n2, n1)
+    twl = jnp.broadcast_to(jnp.asarray(tw_lo)[None], (b, n2, n1))
+    twh = jnp.broadcast_to(jnp.asarray(tw_hi)[None], (b, n2, n1))
+    lo, hi = gl.mul((lo, hi), (twl, twh))
+    lo = lo.transpose(0, 2, 1).reshape(b * n1, n2)  # rows [j1r, i2]
+    hi = hi.transpose(0, 2, 1).reshape(b * n1, n2)
+    lo, hi = _ntt_br_tpu((lo, hi), log2, inverse)  # [j1r, j2r] = bitrev(j)
+    return (lo.reshape(b, 1 << log_k), hi.reshape(b, 1 << log_k))
 
 
 @jit(static_argnames=("inverse",))
@@ -67,30 +139,47 @@ def ntt(f, inverse: bool = False):
 
     Forward: out[j] = sum_i f[i] * w^(i*j),  w = primitive n-th root.
     Inverse additionally multiplies by n^{-1}.
+
+    On TPU, 2-D batches route to the MXU matmul kernel (directly for
+    n <= 256, via the self-sorting four-step recursion above that);
+    elsewhere the constant-geometry lax.scan path runs.
     """
     n = f[0].shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "NTT length must be a power of two"
     if n == 1:
         return f
-    bitrev, stage_tw = _plan(log_n, inverse)
-    a = _take_last(f, bitrev)
-    batch_shape = a[0].shape[:-1]
-    for s in range(1, log_n + 1):
-        m = 1 << s
-        half = m // 2
-        tw = stage_tw[s - 1]
-        # view as (..., n/m, 2, half)
-        def rs(x):
-            return x.reshape(batch_shape + (n // m, 2, half))
-        al = rs(a[0]); ah = rs(a[1])
-        u = (al[..., 0, :], ah[..., 0, :])
-        v = (al[..., 1, :], ah[..., 1, :])
-        tv = gl.mul(v, (jnp.broadcast_to(tw[0], u[0].shape), jnp.broadcast_to(tw[1], u[1].shape)))
-        top = gl.add(u, tv)
-        bot = gl.sub(u, tv)
-        a = (jnp.stack([top[0], bot[0]], axis=-2).reshape(batch_shape + (n,)),
-             jnp.stack([top[1], bot[1]], axis=-2).reshape(batch_shape + (n,)))
+    if not USE_NUMPY and f[0].ndim == 2 and log_n >= 4 and _mxu_mod().tpu_ok():
+        out = _ntt_br_tpu(f, log_n, inverse)
+        bitrev, _ = _plan(log_n, inverse)
+        out = _take_last(out, bitrev)
+        return _scale_inverse(out, n) if inverse else out
+    bitrev, (wp_lo, wp_hi) = _plan(log_n, inverse)
+    h = n // 2
+    batch_shape = f[0].shape[:-1]
+    iota = jnp.arange(h, dtype=jnp.uint32)
+    wp_lo = jnp.asarray(wp_lo)
+    wp_hi = jnp.asarray(wp_hi)
+
+    def body(x, s):
+        xl, xh = x
+        u = (xl[..., :h], xh[..., :h])
+        v = (xl[..., h:], xh[..., h:])
+        # stage-s twiddle: w^(i & ~(2^s-1)), gathered from the power table
+        mask = ~((jnp.uint32(1) << s) - jnp.uint32(1))
+        idx = (iota & mask).astype(jnp.int32)
+        tshape = u[0].shape
+        tw = (jnp.broadcast_to(wp_lo[idx], tshape), jnp.broadcast_to(wp_hi[idx], tshape))
+        a = gl.add(u, v)
+        b = gl.mul(gl.sub(u, v), tw)
+        # perfect shuffle: out[2i] = a[i], out[2i+1] = b[i]
+        lo = jnp.stack([a[0], b[0]], axis=-1).reshape(batch_shape + (n,))
+        hi = jnp.stack([a[1], b[1]], axis=-1).reshape(batch_shape + (n,))
+        return (lo, hi), None
+
+    stages = jnp.arange(log_n, dtype=jnp.uint32)
+    a, _ = scan(body, f, stages)
+    a = _take_last(a, bitrev)
     if inverse:
         n_inv = gl.h_inv(n)
         a = gl.mul(a, gl.full(a[0].shape, n_inv))

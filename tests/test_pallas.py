@@ -30,6 +30,71 @@ for L in (2, 11):
 print("PALLAS_SPONGE_OK")
 """
 
+_NTT_SCRIPT = r"""
+import functools
+import numpy as np
+import jax.numpy as jnp
+from eth_lc_plonky2_tpu.ops import goldilocks as gl, ntt as nttm
+from eth_lc_plonky2_tpu.ops.pallas import ntt_mxu as mxu
+
+rng = np.random.default_rng(12)
+# MXU matmul base kernel (bit-reversed output) vs the scan path —
+# adversarial values included (p-1 stresses the byte-plane exactness)
+for log_n in (4, 7, 8):
+    n = 1 << log_n
+    vals = rng.integers(0, gl.P, size=(mxu.TILE_B, n), dtype=np.uint64)
+    vals[0, :] = gl.P - 1
+    f = gl.from_u64(vals)
+    for inv in (False, True):
+        want = np.asarray(gl.to_u64(nttm.ntt(f, inverse=inv)))
+        olo, ohi = mxu.ntt_bitrev(f[0], f[1], inv, interpret=True)
+        bitrev, _ = nttm._plan(log_n, inv)
+        got = np.asarray(gl.to_u64((olo, ohi)))[:, bitrev]
+        if inv:  # kernel omits the 1/n scale (callers compose it)
+            got = ((got.astype(object) * pow(n, gl.P - 2, gl.P)) % gl.P).astype(np.uint64)
+        assert np.array_equal(got, want), (log_n, inv)
+# self-sorting four-step recursion over the base kernel (the n > 256
+# production path), one and two recursion levels
+mxu.ntt_bitrev = functools.partial(mxu.ntt_bitrev, interpret=True)
+for log_n in (9, 14):
+    n = 1 << log_n
+    vals = rng.integers(0, gl.P, size=(2, n), dtype=np.uint64)
+    f = gl.from_u64(vals)
+    for inv in (False, True):
+        want = np.asarray(gl.to_u64(nttm.ntt(f, inverse=inv)))
+        out = nttm._ntt_br_tpu(f, log_n, inv)
+        bitrev, _ = nttm._plan(log_n, inv)
+        out = (jnp.take(out[0], bitrev, axis=-1), jnp.take(out[1], bitrev, axis=-1))
+        if inv:
+            out = nttm._scale_inverse(out, n)
+        assert np.array_equal(np.asarray(gl.to_u64(out)), want), (log_n, inv)
+print("PALLAS_NTT_OK")
+"""
+
+
+def _run_pallas_subprocess(script: str, marker: str):
+    env = dict(os.environ)
+    env.update(
+        ELP_BACKEND="jax",
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH="",
+        PALLAS_AXON_POOL_IPS="",
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=_REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
+    assert marker in res.stdout
+
+
+def test_pallas_ntt_interpret():
+    _run_pallas_subprocess(_NTT_SCRIPT, "PALLAS_NTT_OK")
+
 
 def test_pallas_sponge_interpret():
     env = dict(os.environ)
@@ -38,7 +103,6 @@ def test_pallas_sponge_interpret():
         JAX_PLATFORMS="cpu",
         PYTHONPATH="",
         PALLAS_AXON_POOL_IPS="",
-        JAX_COMPILATION_CACHE_DIR=os.path.join(_REPO, ".jax_cache"),
     )
     res = subprocess.run(
         [sys.executable, "-c", _SCRIPT],
