@@ -77,14 +77,45 @@ class CommitmentBatch:
         return self.tree.cap
 
 
+_COMMIT_CHUNK = 16  # polys per sequential NTT/LDE pass (bounds transients)
+
+
+def _chunked_transforms(vals, rate_bits: int, from_coeffs: bool):
+    """Per-poly IFFT + coset LDE, sequenced in row chunks via scan so
+    transient memory stays ~chunk*8n instead of ~num_polys*8n (the
+    full light-client circuit's wires LDE is (184, 2^21) ~ 3 GB; an
+    unchunked XLA schedule of intt+lde spikes several copies of it)."""
+    from ..ops.backend import scan
+
+    num, n = vals[0].shape
+    chunk = _COMMIT_CHUNK
+    if num <= chunk or n < (1 << 15):
+        coeffs = vals if from_coeffs else nttm.intt(vals)
+        return coeffs, nttm.coset_lde(coeffs, rate_bits, SHIFT)
+    pad = (-num) % chunk
+    lo, hi = vals
+    if pad:
+        lo = jnp.pad(lo, ((0, pad), (0, 0)))
+        hi = jnp.pad(hi, ((0, pad), (0, 0)))
+    lo = lo.reshape(-1, chunk, n)
+    hi = hi.reshape(-1, chunk, n)
+
+    def body(_, v):
+        c = v if from_coeffs else nttm.intt(v)
+        l = nttm.coset_lde(c, rate_bits, SHIFT)
+        return None, (c, l)
+
+    _, (cs, ls) = scan(body, None, (lo, hi))
+    coeffs = (cs[0].reshape(-1, n)[:num], cs[1].reshape(-1, n)[:num])
+    n_lde = n << rate_bits
+    lde = (ls[0].reshape(-1, n_lde)[:num], ls[1].reshape(-1, n_lde)[:num])
+    return coeffs, lde
+
+
 @jit(static_argnames=("rate_bits", "cap_height", "from_coeffs"))
 def _commit_core(vals, rate_bits: int, cap_height: int, from_coeffs: bool = False):
     """IFFT -> coset LDE -> leaf hash -> Merkle levels, one program."""
-    if from_coeffs:
-        coeffs = vals
-    else:
-        coeffs = nttm.intt(vals)
-    lde = nttm.coset_lde(coeffs, rate_bits, SHIFT)
+    coeffs, lde = _chunked_transforms(vals, rate_bits, from_coeffs)
     digests = pos.hash_no_pad((lde[0].T, lde[1].T))  # leaf j = lde[:, j]
     levels = [digests]
     while levels[-1][0].shape[0] > (1 << cap_height):
@@ -373,6 +404,19 @@ def make_quotient_kernel(pd: ProverData):
             diff = gl.sub(wires(c), _bcast(piv, (n_lde,)))
             pi_terms.append(gl.mul(lr, diff))
 
+        nr = cfg.num_routed_wires
+        # permutation products vectorized PER CHUNK of cs columns: a
+        # (cs, n_lde) program per chunk keeps both the traced graph
+        # small (vs an unrolled 2*nr-mul chain) and transient memory
+        # bounded (vs one (nr, n_lde) block — 1.3 GB at 2^21)
+        w_all = (wires_lde[0][:nr], wires_lde[1][:nr])
+        sigma_all = (
+            pre_lde[0][num_sel + num_con : num_sel + num_con + nr],
+            pre_lde[1][num_sel + num_con : num_sel + num_con + nr],
+        )
+        ks_dev = gl.from_u64(np.asarray(data.k_shifts[:nr], dtype=np.uint64))
+        x_dev0 = gl.from_u64(x_u64)
+
         out = []
         for j in range(cfg.num_challenges):
             beta = _bcast((betas_f[0][j], betas_f[1][j]), (n_lde,))
@@ -383,16 +427,22 @@ def make_quotient_kernel(pd: ProverData):
             chain = [z] + partials + [z_next]
             ones = gl.ones((n_lde,))
             terms = [gl.mul(l0, gl.sub(z, ones))]
+            beta2 = _bcast((betas_f[0][j], betas_f[1][j]), (cs, n_lde))
+            gamma2 = _bcast((gammas_f[0][j], gammas_f[1][j]), (cs, n_lde))
             for k in range(m):
-                acc_n = None
-                acc_d = None
-                for c in range(k * cs, (k + 1) * cs):
-                    wv = wires(c)
-                    idv = gl.mul(gl.full((n_lde,), int(data.k_shifts[c])), x_dev)
-                    nterm = gl.add(gl.add(wv, gl.mul(beta, idv)), gamma)
-                    dterm = gl.add(gl.add(wv, gl.mul(beta, sigma_c(c))), gamma)
-                    acc_n = nterm if acc_n is None else gl.mul(acc_n, nterm)
-                    acc_d = dterm if acc_d is None else gl.mul(acc_d, dterm)
+                sl = slice(k * cs, (k + 1) * cs)
+                w_k = (w_all[0][sl], w_all[1][sl])
+                id_k = gl.mul(
+                    (jnp.broadcast_to(ks_dev[0][sl, None], (cs, n_lde)),
+                     jnp.broadcast_to(ks_dev[1][sl, None], (cs, n_lde))),
+                    (jnp.broadcast_to(x_dev0[0][None, :], (cs, n_lde)),
+                     jnp.broadcast_to(x_dev0[1][None, :], (cs, n_lde))),
+                )
+                s_k = (sigma_all[0][sl], sigma_all[1][sl])
+                n_k = gl.add(gl.add(w_k, gl.mul(beta2, id_k)), gamma2)
+                d_k = gl.add(gl.add(w_k, gl.mul(beta2, s_k)), gamma2)
+                acc_n = nttm.prod_field(n_k, axis=0)
+                acc_d = nttm.prod_field(d_k, axis=0)
                 terms.append(gl.sub(gl.mul(chain[k + 1], acc_d), gl.mul(chain[k], acc_n)))
             terms.extend(pi_terms)
             terms.extend(gate_slots)
