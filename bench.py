@@ -1,6 +1,7 @@
 """Benchmark: end-to-end proves + kernel ops/s on one TPU chip.
 
-Prints ONE JSON line:
+Prints incremental JSON lines to stdout (one object per line, each a
+superset of the previous); the LAST line is the complete record:
 
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extra": {...}}
 
@@ -12,12 +13,15 @@ constraint-row throughput against the reference's published number:
 => 9,933 rows/s.  vs_baseline > 1 means this prover's rows/s on one
 chip beats the reference CPU prover's rows/s.
 
+The primary JSON line is emitted the moment the prove is timed; kernel
+counters (extra) stream in afterwards, so a timeout still captures the
+headline number.  Phase timings go to stderr.
+
 extra carries the BASELINE.md §north-star kernel counters:
   ntt_mpts_s            forward-NTT points/s (millions), 64x2^16 batch
   ntt_sol_frac          fraction of the VPU speed-of-light model
   poseidon_mhashes_s    Poseidon rate-8 hashes/s (millions), 2^19 batch
   poseidon_sol_frac     fraction of speed-of-light
-  toy_prove_wall_s      steady-state prove of the round-1 arith+range toy
 
 Speed-of-light model (documented, not measured): one v5e core VPU
 issues ~8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz ~= 3.85e12 u32
@@ -25,7 +29,15 @@ lane-ops/s.  A Goldilocks mul in u32 limbs costs ~60 lane-ops, an add
 ~12; an NTT butterfly ~84 (mul+add+sub); a Poseidon permutation
 ~68,000 (30 rounds of MDS-as-u16-parts + x^7 s-boxes + reduction).
 
-Environment knobs: BENCH_LOG_ROWS (default 16), BENCH_SKIP_PROVES.
+Environment knobs:
+  BENCH_LOG_ROWS     circuit size exponent (default 16)
+  BENCH_SKIP_PROVES  =1: kernel counters only (no circuit build/prove)
+  BENCH_FULL         =1: also run the round-1 arith toy prove
+  BENCH_NO_CACHE     =1: ignore the on-disk built-circuit cache
+
+The built bench circuit (tables + preprocess + witness) is cached in
+.cache/bench/ via prover.serialize, so steady-state proving is reached
+in minutes on a warm tree.
 """
 
 import json
@@ -35,6 +47,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+T0 = time.time()
+
+
+def log(msg: str):
+    print(f"[bench +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+RESULT = {"metric": "pending", "value": None, "unit": "s", "vs_baseline": None, "extra": {}}
+
+
+def emit():
+    print(json.dumps(RESULT), flush=True)
+
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -43,10 +69,11 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.p
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-from eth_lc_plonky2_tpu.circuit.builder import CircuitBuilder
+from eth_lc_plonky2_tpu.circuit.builder import CircuitBuilder, Witness
 from eth_lc_plonky2_tpu.circuit import gadgets_sha256 as gs
 from eth_lc_plonky2_tpu.prover.config import CircuitConfig, FriConfig
 from eth_lc_plonky2_tpu.prover import prove as pr
+from eth_lc_plonky2_tpu.prover import serialize as ser
 from eth_lc_plonky2_tpu.prover.verify import verify
 from eth_lc_plonky2_tpu.ops import goldilocks as gl
 from eth_lc_plonky2_tpu.ops import ntt as nttm
@@ -58,6 +85,8 @@ REFERENCE_ROWS_PER_S = 2_980_000 / 300.0  # BASELINE.md: 2.98M constraints / 300
 VPU_U32_OPS_PER_S = 3.85e12
 BUTTERFLY_U32_OPS = 84.0
 POSEIDON_PERMUTE_U32_OPS = 68_000.0
+
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "bench")
 
 
 def build_sha_circuit(log_rows: int):
@@ -88,17 +117,54 @@ def build_toy_circuit(log_rows: int):
     return b, x
 
 
-def timed_prove(b, set_witness):
+def sha_prover_state(log_rows: int, use_cache: bool):
+    """(data, pd, vk, witness) for the bench circuit, via the on-disk
+    cache (tables + preprocess + generated witness) when possible."""
+    key = ser.cache_key("bench_sha", log_rows)
+    cdir = ser.cache_dir_for(CACHE_ROOT, key)
+    wpath = os.path.join(cdir, "witness.npz")
+    if use_cache and ser.has_cached_circuit(CACHE_ROOT, key) and os.path.exists(wpath):
+        t0 = time.time()
+        _, data, pd, vk = ser.load_circuit(cdir)
+        z = np.load(wpath)
+        w = Witness(data)
+        w.values = z["values"]
+        w.known = z["known"]
+        log(f"sha circuit cache hit ({time.time() - t0:.1f}s)")
+        return data, pd, vk, w
+
+    t0 = time.time()
+    b, pairs = build_sha_circuit(log_rows)
     data = b.build()
-    pd, vk = pr.preprocess(data)
+    log(f"sha circuit built ({time.time() - t0:.1f}s, 2^{data.log_n} rows)")
+    t0 = time.time()
     w = data.new_witness()
-    set_witness(w)
+    for i, (l, r) in enumerate(pairs):
+        gs.set_hash256(w, l, bytes([(i + j) % 256 for j in range(32)]))
+        gs.set_hash256(w, r, bytes([(i * 2 + j) % 256 for j in range(32)]))
     w.generate()
+    log(f"witness generated ({time.time() - t0:.1f}s)")
+    t0 = time.time()
+    pd, vk = pr.preprocess(data)
+    log(f"preprocess done ({time.time() - t0:.1f}s)")
+    if use_cache:
+        t0 = time.time()
+        ser.save_circuit(cdir, data, pd, extras=None)
+        np.savez_compressed(wpath, values=w.values, known=w.known)
+        log(f"circuit cached ({time.time() - t0:.1f}s)")
+    return data, pd, vk, w
+
+
+def bench_sha_prove(log_rows: int, use_cache: bool):
+    data, pd, vk, w = sha_prover_state(log_rows, use_cache)
+    t0 = time.time()
     proof = pr.prove(pd, w)  # compile + warmup
     verify(data, vk, proof)
+    log(f"warmup prove+verify ({time.time() - t0:.1f}s)")
     t0 = time.time()
     proof = pr.prove(pd, w)
     dt = time.time() - t0
+    log(f"steady-state prove: {dt:.3f}s")
     verify(data, vk, proof)
     return data, dt
 
@@ -140,45 +206,63 @@ def bench_poseidon():
 
 def main():
     log_rows = int(os.environ.get("BENCH_LOG_ROWS", "16"))
-    # warm up the device<->host channel (first transfer pays one-time
-    # tunnel setup; see .claude/skills/verify/SKILL.md)
-    jax.device_get(jnp.arange(4))
+    skip_proves = os.environ.get("BENCH_SKIP_PROVES", "0") == "1"
+    use_cache = os.environ.get("BENCH_NO_CACHE", "0") != "1"
+    log(f"start platform={jax.default_backend()} log_rows={log_rows} "
+        f"skip_proves={skip_proves} cache={use_cache}")
 
-    extra = {}
+    # warm up the device<->host channel (first transfer pays one-time
+    # tunnel setup, 250-570s worst case; see .claude/skills/verify/SKILL.md)
+    t0 = time.time()
+    jax.device_get(jnp.arange(4))
+    log(f"first device->host transfer ({time.time() - t0:.1f}s)")
+
+    extra = RESULT["extra"]
+
+    if not skip_proves:
+        # primary: SHA-heavy prove (LC workload shape) — emit immediately
+        data, sha_dt = bench_sha_prove(log_rows, use_cache)
+        rows_per_s = data.n / sha_dt
+        RESULT.update(
+            metric=f"sha2^{data.log_n}_prove_wall_s",
+            value=round(sha_dt, 3),
+            unit="s",
+            vs_baseline=round(rows_per_s / REFERENCE_ROWS_PER_S, 3),
+        )
+        emit()
+
     ntt_ps, ntt_frac = bench_ntt()
     extra["ntt_mpts_s"] = round(ntt_ps / 1e6, 1)
     extra["ntt_sol_frac"] = round(ntt_frac, 4)
+    log(f"ntt: {extra['ntt_mpts_s']} Mpts/s ({100 * ntt_frac:.1f}% of SoL)")
+    emit()
     pos_ps, pos_frac = bench_poseidon()
     extra["poseidon_mhashes_s"] = round(pos_ps / 1e6, 2)
     extra["poseidon_sol_frac"] = round(pos_frac, 4)
+    log(f"poseidon: {extra['poseidon_mhashes_s']} Mhashes/s ({100 * pos_frac:.1f}% of SoL)")
+    if skip_proves:
+        RESULT.update(metric="ntt_mpts_s", value=extra["ntt_mpts_s"],
+                      unit="Mpts/s", vs_baseline=None)
+    emit()
 
-    # primary: SHA-heavy prove (LC workload shape)
-    b, pairs = build_sha_circuit(log_rows)
+    if os.environ.get("BENCH_FULL", "0") == "1" and not skip_proves:
+        # secondary: round-1 arith toy shape (continuity with BENCH_r01)
+        b2, x = build_toy_circuit(min(log_rows, 13))
+        data2 = b2.build()
+        pd2, vk2 = pr.preprocess(data2)
+        w2 = data2.new_witness()
+        w2.set(x, 1)
+        w2.generate()
+        proof2 = pr.prove(pd2, w2)
+        verify(data2, vk2, proof2)
+        t0 = time.time()
+        proof2 = pr.prove(pd2, w2)
+        extra["toy_prove_wall_s"] = round(time.time() - t0, 3)
+        verify(data2, vk2, proof2)
+        log(f"toy prove: {extra['toy_prove_wall_s']}s")
+        emit()
 
-    def set_sha_witness(w):
-        for i, (l, r) in enumerate(pairs):
-            gs.set_hash256(w, l, bytes([(i + j) % 256 for j in range(32)]))
-            gs.set_hash256(w, r, bytes([(i * 2 + j) % 256 for j in range(32)]))
-
-    data, sha_dt = timed_prove(b, set_sha_witness)
-    rows_per_s = data.n / sha_dt
-
-    # secondary: round-1 arith toy shape (continuity with BENCH_r01)
-    b2, x = build_toy_circuit(min(log_rows, 13))
-    _, toy_dt = timed_prove(b2, lambda w: w.set(x, 1))
-    extra["toy_prove_wall_s"] = round(toy_dt, 3)
-
-    print(
-        json.dumps(
-            {
-                "metric": f"sha2^{data.log_n}_prove_wall_s",
-                "value": round(sha_dt, 3),
-                "unit": "s",
-                "vs_baseline": round(rows_per_s / REFERENCE_ROWS_PER_S, 3),
-                "extra": extra,
-            }
-        )
-    )
+    log(f"done (total {time.time() - T0:.1f}s)")
 
 
 if __name__ == "__main__":
