@@ -21,14 +21,13 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-# Persistent compilation cache: XLA-compiles of the u32-limb field ops are
-# the dominant test cost; cache them across runs.
 import jax  # noqa: E402
 
 # The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS from the
 # environment; the config knob wins.  Tests must NEVER touch the real
 # chip — they run on 8 virtual CPU devices.
+#
+# No persistent compilation cache here: XLA:CPU AOT cache entries pin
+# the builder machine's CPU features and load pathologically slowly on
+# any other machine (~60 s per hit) — cold compiles are cheaper.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO_ROOT, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -59,9 +59,8 @@ def test_jax_backend_prove_verify():
         JAX_PLATFORMS="cpu",
         PYTHONPATH="",  # drop the axon sitecustomize (forces the TPU plugin)
         PALLAS_AXON_POOL_IPS="",
-        JAX_COMPILATION_CACHE_DIR=os.path.join(_REPO, ".jax_cache"),
-        JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
-        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+        # same topology conftest.py sets for in-process tests
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
     )
     res = subprocess.run(
         [sys.executable, "-c", _SCRIPT],

@@ -119,9 +119,6 @@ def test_parallel_equality():
         PYTHONPATH="",
         PALLAS_AXON_POOL_IPS="",
         XLA_FLAGS=(env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
-        JAX_COMPILATION_CACHE_DIR=os.path.join(_REPO, ".jax_cache"),
-        JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
-        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
     )
     res = subprocess.run(
         [sys.executable, "-c", _SCRIPT],
