@@ -113,6 +113,7 @@ def run(
     cache_dir: str | None = None,
     save_proof_path: str | None = None,
     bls_mode: str | None = None,
+    bls_save_dir: str | None = None,
     out=sys.stdout,
 ) -> dict:
     from .circuit.builder import CircuitBuilder
@@ -132,7 +133,9 @@ def run(
 
     # BLS sub-proof (main.rs:172): with --bls dummy, prove a stand-in
     # inner circuit with the exact targets.rs:471-482 PI layout and
-    # absorb it in-circuit via the recursion layer.
+    # absorb it in-circuit via the recursion layer; with
+    # --bls artifacts=DIR, load offline-produced inner artifacts from
+    # files (the affordance /root/reference/README.md:14 documents).
     bls_inner = None
     if bls_mode == "dummy":
         from .models import bls as blsm
@@ -151,6 +154,16 @@ def run(
         bls_inner = (bls_data, bls_proof, bls_vk)
         report["bls_inner_prove_s"] = round(time.time() - t0, 3)
         print(f"BLS inner proof (dummy wrapper) in {report['bls_inner_prove_s']}s", file=out)
+        if bls_save_dir:
+            blsm.save_bls_artifacts(bls_save_dir, bls_data, bls_proof, bls_vk)
+            print(f"BLS inner artifacts saved to {bls_save_dir}", file=out)
+    elif bls_mode and bls_mode.startswith("artifacts="):
+        from .models import bls as blsm
+
+        t0 = time.time()
+        bls_inner = blsm.load_bls_artifacts(bls_mode.split("=", 1)[1])
+        report["bls_artifacts_load_s"] = round(time.time() - t0, 3)
+        print(f"BLS inner artifacts loaded in {report['bls_artifacts_load_s']}s", file=out)
 
     pd = vk = target = data = None
     bls_targets = None
@@ -169,7 +182,7 @@ def run(
         if bls_inner is not None:
             from .models import bls as blsm
 
-            bls_targets = blsm.absorb_bls_proof(b, target, bls_inner[0])
+            bls_targets = blsm.absorb_bls_proof(b, target, bls_inner[0], pin_vk=bls_inner[2])
         b.register_public_inputs(target.cur_state)
         b.register_public_inputs(target.new_state)
         data = b.build()
@@ -240,6 +253,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--cur-update", help="light-client update JSON for the current period")
     p.add_argument("--new-update", help="light-client update JSON for the next period")
+    p.add_argument("--rpc", metavar="RPC_YAML",
+                   help="fetch the update pair live from a beacon RPC node "
+                        "(2-key yaml: finality_update_rpc, light_client_rpc; "
+                        "main.rs:34-56 parity)")
     p.add_argument("--synthetic", type=int, metavar="N",
                    help="prove a synthetic consistent update pair with an N-member committee")
     p.add_argument("--seed", type=int, default=0)
@@ -249,10 +266,17 @@ def main(argv=None):
     p.add_argument("--json", action="store_true", help="emit the report as one JSON line")
     p.add_argument("--cache-dir", help="directory for built-circuit/preprocess caching")
     p.add_argument("--save-proof", help="write the proof here (and verify the reloaded copy)")
-    p.add_argument("--bls", choices=["dummy"], dest="bls_mode",
-                   help="absorb a BLS sub-proof in-circuit via the recursion layer "
-                        "(dummy = stand-in inner circuit with the targets.rs:471-482 PI layout)")
+    p.add_argument("--bls", dest="bls_mode", metavar="dummy|artifacts=DIR",
+                   help="absorb a BLS sub-proof in-circuit via the recursion layer: "
+                        "'dummy' proves a stand-in inner circuit with the "
+                        "targets.rs:471-482 PI layout in-process; 'artifacts=DIR' "
+                        "loads offline-produced inner artifacts from files "
+                        "(circuit.pkl/proof.pkl/vk.pkl; README.md:14 parity)")
+    p.add_argument("--bls-save", dest="bls_save_dir", metavar="DIR",
+                   help="with --bls dummy: also write the inner artifacts to DIR")
     args = p.parse_args(argv)
+    if args.bls_mode and args.bls_mode != "dummy" and not args.bls_mode.startswith("artifacts="):
+        p.error("--bls must be 'dummy' or 'artifacts=DIR'")
 
     if args.synthetic is not None:
         if args.synthetic < 2:
@@ -262,6 +286,12 @@ def main(argv=None):
         syn = make_synthetic_update_pair(args.synthetic, seed=args.seed)
         witness_kwargs = syn.witness_kwargs
         committee_size, threshold = syn.committee_size, syn.threshold
+    elif args.rpc:
+        from .eth.rpc import fetch_update_pair, load_rpc_config
+
+        cur_u, new_u = fetch_update_pair(load_rpc_config(args.rpc))
+        witness_kwargs, _, _ = witness_from_updates(cur_u, new_u)
+        committee_size, threshold = 512, None
     elif args.cur_update and args.new_update:
         from .eth.lc_update import load_update
 
@@ -270,7 +300,7 @@ def main(argv=None):
         witness_kwargs, _, _ = witness_from_updates(cur_u, new_u)
         committee_size, threshold = 512, None
     else:
-        p.error("provide --synthetic N or both --cur-update and --new-update")
+        p.error("provide --synthetic N, --rpc RPC_YAML, or both --cur-update and --new-update")
 
     report = run(
         witness_kwargs,
@@ -282,6 +312,7 @@ def main(argv=None):
         cache_dir=args.cache_dir,
         save_proof_path=args.save_proof,
         bls_mode=args.bls_mode,
+        bls_save_dir=args.bls_save_dir,
     )
     if args.json:
         print(json.dumps(report))

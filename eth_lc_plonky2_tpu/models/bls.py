@@ -40,7 +40,7 @@ def num_bls_public_inputs(committee_size: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def absorb_bls_proof(b: CircuitBuilder, t, bls_data: CircuitData):
+def absorb_bls_proof(b: CircuitBuilder, t, bls_data: CircuitData, pin_vk=None):
     """Verify a BLS inner proof in-circuit and bind its public inputs.
 
     `t` is the app-circuit ProofTarget (models.lc_circuit).  Mirrors
@@ -48,12 +48,27 @@ def absorb_bls_proof(b: CircuitBuilder, t, bls_data: CircuitData):
     [32..128) to signature_bytes, then per committee member 48 pubkey
     bytes followed by the participation bit.
 
+    `pin_vk`: the expected inner VerifierKey.  When given, the verifier
+    data (the preprocessed-commitment cap) is pinned to circuit
+    CONSTANTS of that key, so a prover cannot substitute a different
+    same-shape inner circuit's vk/proof pair.  The reference leaves the
+    verifier data as a plain witness (targets.rs:469) and relies on the
+    operator passing the right artifacts; pin the vk whenever the inner
+    circuit is known at build time (the CLI's --bls dummy path does).
+    Without pinning, the absorption only attests "some proof of some
+    circuit with this PI layout verifies" — fine for the dummy, a
+    soundness hole for a real BLS artifact.
+
     Returns (proof_target, verifier_data_target) for the witness side
     (set via set_bls_proof_target, the counterpart of
     targets.rs:896-897).
     """
     pt = rec.add_virtual_proof_with_pis(b, bls_data)
     vd = rec.add_virtual_verifier_data(b, bls_data)
+    if pin_vk is not None:
+        for d_t, d_v in zip(vd.pre_cap, pin_vk.pre_cap):
+            for wire, val in zip(d_t, d_v):
+                b.connect(wire, b.constant(int(val)))
     rec.verify_proof_circuit(b, pt, vd, bls_data)
 
     size = len(t.sync_committee.pubkeys)
@@ -144,3 +159,46 @@ def prove_dummy_bls(
     w.generate()
     proof = pr.prove(pd, w)
     return proof, vk
+
+
+# ---------------------------------------------------------------------------
+# File-based inner-proof artifacts
+# ---------------------------------------------------------------------------
+#
+# The reference documents that the BLS artifacts (plonky2_proof,
+# verifier_data, common_data) may be produced offline by another
+# process and loaded from files (/root/reference/README.md:14).  The
+# equivalents here: circuit.pkl (CircuitData = common data incl. PI
+# layout), proof.pkl, vk.pkl (the preprocessed-commitment cap).
+
+
+def save_bls_artifacts(dirpath: str, data: CircuitData, proof, vk) -> None:
+    import os
+    import pickle
+
+    import cloudpickle
+
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, "circuit.pkl"), "wb") as f:
+        cloudpickle.dump(data, f)
+    with open(os.path.join(dirpath, "proof.pkl"), "wb") as f:
+        pickle.dump(proof, f)
+    with open(os.path.join(dirpath, "vk.pkl"), "wb") as f:
+        pickle.dump(vk, f)
+
+
+def load_bls_artifacts(dirpath: str):
+    """Returns (CircuitData, proof, VerifierKey); the caller absorbs via
+    absorb_bls_proof(..., pin_vk=vk) + set_bls_proof_target."""
+    import os
+    import pickle
+
+    import cloudpickle
+
+    with open(os.path.join(dirpath, "circuit.pkl"), "rb") as f:
+        data = cloudpickle.load(f)
+    with open(os.path.join(dirpath, "proof.pkl"), "rb") as f:
+        proof = pickle.load(f)
+    with open(os.path.join(dirpath, "vk.pkl"), "rb") as f:
+        vk = pickle.load(f)
+    return data, proof, vk
