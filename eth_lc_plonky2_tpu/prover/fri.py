@@ -83,6 +83,31 @@ def make_g_kernel(pd, counts: dict, num_specs: int, spec_tags: tuple):
     total = acc
     x_u64 = _lde_x(data.log_n, cfg.rate_bits)
 
+    def _weighted_sum(lde, a):
+        """sum_i a[i] * lde[i] over the poly axis, in row chunks so the
+        full (num, n_lde) product (3 GB for the wires batch at 2^21)
+        is never materialized."""
+        num = lde[0].shape[0]
+        chunk = max(c for c in range(1, 17) if num % c == 0)
+        if num <= 16:
+            prod = gl.mul((jnp.broadcast_to(a[0][:, None], lde[0].shape),
+                           jnp.broadcast_to(a[1][:, None], lde[1].shape)), lde)
+            return nttm.sum_field(prod, axis=0)
+        from ..ops.backend import scan
+
+        nl = lde[0].shape[1]
+        xs = (lde[0].reshape(-1, chunk, nl), lde[1].reshape(-1, chunk, nl),
+              a[0].reshape(-1, chunk), a[1].reshape(-1, chunk))
+
+        def body(acc, x):
+            ll, lh, al, ah = x
+            prod = gl.mul((jnp.broadcast_to(al[:, None], ll.shape),
+                           jnp.broadcast_to(ah[:, None], lh.shape)), (ll, lh))
+            return gl.add(acc, nttm.sum_field(prod, axis=0)), None
+
+        acc, _ = scan(body, gl.zeros((nl,)), xs)
+        return acc
+
     def kernel(ldes, apow_f, y_f, z_f):
         # apow_f: field arrays (total + num_specs,) for re and im parts:
         #   ((re_lo, re_hi), (im_lo, im_hi))
@@ -92,12 +117,8 @@ def make_g_kernel(pd, counts: dict, num_specs: int, spec_tags: tuple):
             lde = ldes[ti]
             c0 = offsets_g[t]
             c1 = c0 + counts[t]
-            a_re = ((apre[0][c0:c1, None]), (apre[1][c0:c1, None]))
-            a_im = ((apim[0][c0:c1, None]), (apim[1][c0:c1, None]))
-            re = nttm.sum_field(gl.mul((jnp.broadcast_to(a_re[0], lde[0].shape),
-                                        jnp.broadcast_to(a_re[1], lde[1].shape)), lde), axis=0)
-            im = nttm.sum_field(gl.mul((jnp.broadcast_to(a_im[0], lde[0].shape),
-                                        jnp.broadcast_to(a_im[1], lde[1].shape)), lde), axis=0)
+            re = _weighted_sum(lde, (apre[0][c0:c1], apre[1][c0:c1]))
+            im = _weighted_sum(lde, (apim[0][c0:c1], apim[1][c0:c1]))
             b_tag[t] = (re, im)
         x_dev = gl.from_u64(x_u64)
         yre, yim = y_f

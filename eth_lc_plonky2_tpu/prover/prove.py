@@ -88,17 +88,15 @@ def _chunked_transforms(vals, rate_bits: int, from_coeffs: bool):
     from ..ops.backend import scan
 
     num, n = vals[0].shape
-    chunk = _COMMIT_CHUNK
-    if num <= chunk or n < (1 << 15):
+    if num <= _COMMIT_CHUNK or n < (1 << 15):
         coeffs = vals if from_coeffs else nttm.intt(vals)
         return coeffs, nttm.coset_lde(coeffs, rate_bits, SHIFT)
-    pad = (-num) % chunk
-    lo, hi = vals
-    if pad:
-        lo = jnp.pad(lo, ((0, pad), (0, 0)))
-        hi = jnp.pad(hi, ((0, pad), (0, 0)))
-    lo = lo.reshape(-1, chunk, n)
-    hi = hi.reshape(-1, chunk, n)
+    # largest divisor of num <= _COMMIT_CHUNK: an exact split means the
+    # stacked scan output reshapes back by VIEW (a pad+slice would copy
+    # the whole multi-GB LDE once more)
+    chunk = max(c for c in range(1, _COMMIT_CHUNK + 1) if num % c == 0)
+    lo = vals[0].reshape(-1, chunk, n)
+    hi = vals[1].reshape(-1, chunk, n)
 
     def body(_, v):
         c = v if from_coeffs else nttm.intt(v)
@@ -106,9 +104,9 @@ def _chunked_transforms(vals, rate_bits: int, from_coeffs: bool):
         return None, (c, l)
 
     _, (cs, ls) = scan(body, None, (lo, hi))
-    coeffs = (cs[0].reshape(-1, n)[:num], cs[1].reshape(-1, n)[:num])
+    coeffs = (cs[0].reshape(num, n), cs[1].reshape(num, n))
     n_lde = n << rate_bits
-    lde = (ls[0].reshape(-1, n_lde)[:num], ls[1].reshape(-1, n_lde)[:num])
+    lde = (ls[0].reshape(num, n_lde), ls[1].reshape(num, n_lde))
     return coeffs, lde
 
 
@@ -324,17 +322,6 @@ def compute_permutation_polys(pd: ProverData, wires_dev, beta: int, gamma: int):
 # ---------------------------------------------------------------------------
 
 
-def _alpha_combine(terms, alpha_scalar):
-    """sum alpha^i * terms[i] (Horner) with a traced scalar alpha."""
-    acc = None
-    for t in reversed(terms):
-        if acc is None:
-            acc = t
-        else:
-            acc = gl.add(gl.mul(acc, _bcast(alpha_scalar, acc[0].shape)), t)
-    return acc
-
-
 def make_quotient_kernel(pd: ProverData):
     data = pd.data
     cfg = data.config
@@ -358,7 +345,9 @@ def make_quotient_kernel(pd: ProverData):
         [zh_u64, hf.sub(x_u64, np.uint64(1))]
         + [hf.sub(x_u64, np.uint64(wr)) for wr in pi_roots]
     )
-    inv_all = hf.inv(denoms)
+    # invert ON DEVICE: hf.inv's 96 vectorized passes over (2+pi, n_lde)
+    # u64 take minutes on the host at 2^21, milliseconds on the chip
+    inv_all = np.asarray(gl.to_u64(gl.inv(gl.from_u64(denoms))), dtype=np.uint64)
     zh_inv_u64 = inv_all[0]
     l0_u64 = hf.mul(hf.mul(zh_u64, inv_all[1]), np.uint64(n_inv))
     lr_rows = [
@@ -383,26 +372,6 @@ def make_quotient_kernel(pd: ProverData):
             return (pre_lde[0][num_sel + num_con + c], pre_lde[1][num_sel + num_con + c])
 
         max_con = max((g.num_constraints for g in data.gates), default=0)
-        gate_slots = [None] * max_con
-        for gi, g in enumerate(data.gates):
-            if g.num_constraints == 0:
-                continue
-            cons = g.eval(A, wires, consts)
-            s = sel(gi)
-            for k, cval in enumerate(cons):
-                term = gl.mul(s, cval)
-                gate_slots[k] = term if gate_slots[k] is None else gl.add(gate_slots[k], term)
-        gate_slots = [t if t is not None else gl.zeros((n_lde,)) for t in gate_slots]
-
-        x_dev = gl.from_u64(x_u64)
-        l0 = gl.from_u64(l0_u64)
-        pi_terms = []
-        for k in range(num_pi):
-            lr = (gl.from_u64(lr_u64[k])[0], gl.from_u64(lr_u64[k])[1])
-            piv = ((pi_f[0][k], pi_f[1][k]))
-            c = data.public_input_targets[k].col
-            diff = gl.sub(wires(c), _bcast(piv, (n_lde,)))
-            pi_terms.append(gl.mul(lr, diff))
 
         nr = cfg.num_routed_wires
         # permutation products vectorized PER CHUNK of cs columns: a
@@ -417,7 +386,26 @@ def make_quotient_kernel(pd: ProverData):
         ks_dev = gl.from_u64(np.asarray(data.k_shifts[:nr], dtype=np.uint64))
         x_dev0 = gl.from_u64(x_u64)
 
-        out = []
+        # alpha-power-weighted INCREMENTAL combination: each term is
+        # consumed the moment it is produced, so XLA can free it —
+        # materializing every constraint slot (~165 x 16 MB at 2^21)
+        # before one big Horner pass OOMs the full circuit.  Exponent
+        # assignment is unchanged: perm terms 0..m, PI terms, then one
+        # slot per constraint index (shared across gates).
+        n_terms = 1 + m + num_pi + max_con
+        apows = []  # per challenge: list of shape-() scalar powers
+        for j in range(cfg.num_challenges):
+            a = ((alphas_f[0][j], alphas_f[1][j]))
+            pows = [gl.ones(())]
+            for _ in range(n_terms - 1):
+                pows.append(gl.mul(pows[-1], a))
+            apows.append(pows)
+        accs = [gl.zeros((n_lde,)) for _ in range(cfg.num_challenges)]
+
+        def absorb(j: int, idx: int, t):
+            accs[j] = gl.add(accs[j], gl.mul(_bcast(apows[j][idx], (n_lde,)), t))
+
+        l0 = gl.from_u64(l0_u64)
         for j in range(cfg.num_challenges):
             beta = _bcast((betas_f[0][j], betas_f[1][j]), (n_lde,))
             gamma = _bcast((gammas_f[0][j], gammas_f[1][j]), (n_lde,))
@@ -426,7 +414,7 @@ def make_quotient_kernel(pd: ProverData):
             partials = [(zs_lde[0][j * m + 1 + k], zs_lde[1][j * m + 1 + k]) for k in range(m - 1)]
             chain = [z] + partials + [z_next]
             ones = gl.ones((n_lde,))
-            terms = [gl.mul(l0, gl.sub(z, ones))]
+            absorb(j, 0, gl.mul(l0, gl.sub(z, ones)))
             beta2 = _bcast((betas_f[0][j], betas_f[1][j]), (cs, n_lde))
             gamma2 = _bcast((gammas_f[0][j], gammas_f[1][j]), (cs, n_lde))
             for k in range(m):
@@ -443,11 +431,31 @@ def make_quotient_kernel(pd: ProverData):
                 d_k = gl.add(gl.add(w_k, gl.mul(beta2, s_k)), gamma2)
                 acc_n = nttm.prod_field(n_k, axis=0)
                 acc_d = nttm.prod_field(d_k, axis=0)
-                terms.append(gl.sub(gl.mul(chain[k + 1], acc_d), gl.mul(chain[k], acc_n)))
-            terms.extend(pi_terms)
-            terms.extend(gate_slots)
-            combined = _alpha_combine(terms, (alphas_f[0][j], alphas_f[1][j]))
-            quotient = gl.mul(combined, gl.from_u64(zh_inv_u64))
+                absorb(j, 1 + k, gl.sub(gl.mul(chain[k + 1], acc_d), gl.mul(chain[k], acc_n)))
+
+        for i in range(num_pi):
+            lr = gl.from_u64(lr_u64[i])
+            piv = ((pi_f[0][i], pi_f[1][i]))
+            c = data.public_input_targets[i].col
+            t = gl.mul(lr, gl.sub(wires(c), _bcast(piv, (n_lde,))))
+            for j in range(cfg.num_challenges):
+                absorb(j, 1 + m + i, t)
+
+        k0 = 1 + m + num_pi
+        for gi, g in enumerate(data.gates):
+            if g.num_constraints == 0:
+                continue
+            cons = g.eval(A, wires, consts)
+            s = sel(gi)
+            for k, cval in enumerate(cons):
+                sc = gl.mul(s, cval)
+                for j in range(cfg.num_challenges):
+                    absorb(j, k0 + k, sc)
+
+        out = []
+        zh_inv = gl.from_u64(zh_inv_u64)
+        for j in range(cfg.num_challenges):
+            quotient = gl.mul(accs[j], zh_inv)
             # split into 2^rate chunks of degree < n, coefficient form
             qc = nttm.coset_intt(quotient, 0, SHIFT)  # (8n,) coeffs
             out.append((qc[0].reshape(1 << rate, n), qc[1].reshape(1 << rate, n)))
