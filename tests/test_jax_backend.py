@@ -3,13 +3,15 @@
 The main suite runs on the numpy backend (bit-identical algorithms, no
 XLA compile latency).  ELP_BACKEND is frozen at import time, so the
 JAX path runs in a subprocess: a tiny end-to-end prove + verify with
-every prover kernel jitted on the CPU platform.  The persistent
-compilation cache in .jax_cache keeps reruns fast.
+every prover kernel jitted on the CPU platform (heavy tier — see
+the test docstring).
 """
 
 import os
 import subprocess
 import sys
+
+import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -52,7 +54,13 @@ print("JAX_BACKEND_E2E_OK")
 """
 
 
+@pytest.mark.heavy
 def test_jax_backend_prove_verify():
+    """Heavy tier: XLA cold-compiles ~40 prover kernels (~5-15 min on
+    this 2-core host).  The jitted path is exercised every round by
+    the driver's dryrun_multichip (full sharded prove, byte-equality)
+    and by bench.py on the real chip; this test exists for targeted
+    local debugging of the jax-CPU backend."""
     env = dict(os.environ)
     env.update(
         ELP_BACKEND="jax",

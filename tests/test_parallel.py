@@ -11,6 +11,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SCRIPT = r"""
@@ -111,7 +113,12 @@ print("SHARDED_PROVE_OK")
 """
 
 
+@pytest.mark.heavy
 def test_parallel_equality():
+    """Heavy tier: ~40 cold XLA compiles for the 8-device layouts
+    (~10+ min on this 2-core host).  The same property — sharded proof
+    byte-identical to single-device — is certified every round by the
+    driver's dryrun_multichip entry point."""
     env = dict(os.environ)
     env.update(
         ELP_BACKEND="jax",
