@@ -219,8 +219,24 @@ def main():
 
     extra = RESULT["extra"]
 
+    # kernel counters FIRST (cheap: ~30-60 s incl. compiles) so the
+    # driver captures a parsed record even if its budget expires during
+    # the prove warmup (the tunnel stall alone can eat 5+ minutes)
+    ntt_ps, ntt_frac = bench_ntt()
+    extra["ntt_mpts_s"] = round(ntt_ps / 1e6, 1)
+    extra["ntt_sol_frac"] = round(ntt_frac, 4)
+    log(f"ntt: {extra['ntt_mpts_s']} Mpts/s ({100 * ntt_frac:.1f}% of SoL)")
+    RESULT.update(metric="ntt_mpts_s", value=extra["ntt_mpts_s"],
+                  unit="Mpts/s", vs_baseline=None)
+    emit()
+    pos_ps, pos_frac = bench_poseidon()
+    extra["poseidon_mhashes_s"] = round(pos_ps / 1e6, 2)
+    extra["poseidon_sol_frac"] = round(pos_frac, 4)
+    log(f"poseidon: {extra['poseidon_mhashes_s']} Mhashes/s ({100 * pos_frac:.1f}% of SoL)")
+    emit()
+
     if not skip_proves:
-        # primary: SHA-heavy prove (LC workload shape) — emit immediately
+        # primary: SHA-heavy prove (LC workload shape)
         data, sha_dt = bench_sha_prove(log_rows, use_cache)
         rows_per_s = data.n / sha_dt
         RESULT.update(
@@ -230,20 +246,6 @@ def main():
             vs_baseline=round(rows_per_s / REFERENCE_ROWS_PER_S, 3),
         )
         emit()
-
-    ntt_ps, ntt_frac = bench_ntt()
-    extra["ntt_mpts_s"] = round(ntt_ps / 1e6, 1)
-    extra["ntt_sol_frac"] = round(ntt_frac, 4)
-    log(f"ntt: {extra['ntt_mpts_s']} Mpts/s ({100 * ntt_frac:.1f}% of SoL)")
-    emit()
-    pos_ps, pos_frac = bench_poseidon()
-    extra["poseidon_mhashes_s"] = round(pos_ps / 1e6, 2)
-    extra["poseidon_sol_frac"] = round(pos_frac, 4)
-    log(f"poseidon: {extra['poseidon_mhashes_s']} Mhashes/s ({100 * pos_frac:.1f}% of SoL)")
-    if skip_proves:
-        RESULT.update(metric="ntt_mpts_s", value=extra["ntt_mpts_s"],
-                      unit="Mpts/s", vs_baseline=None)
-    emit()
 
     if os.environ.get("BENCH_FULL", "0") == "1" and not skip_proves:
         # secondary: round-1 arith toy shape (continuity with BENCH_r01)
