@@ -393,17 +393,18 @@ def make_quotient_kernel(pd: ProverData):
         # assignment is unchanged: perm terms 0..m, PI terms, then one
         # slot per constraint index (shared across gates).
         n_terms = 1 + m + num_pi + max_con
-        apows = []  # per challenge: list of shape-() scalar powers
-        for j in range(cfg.num_challenges):
-            a = ((alphas_f[0][j], alphas_f[1][j]))
-            pows = [gl.ones(())]
-            for _ in range(n_terms - 1):
-                pows.append(gl.mul(pows[-1], a))
-            apows.append(pows)
+        # (n_terms,) power tables per challenge via log-doubling (a
+        # Python chain of scalar muls would put n_terms ops in the
+        # trace — 25k+ for a wide-PI circuit)
+        apows = [
+            nttm.powers_device((alphas_f[0][j], alphas_f[1][j]), n_terms)
+            for j in range(cfg.num_challenges)
+        ]
         accs = [gl.zeros((n_lde,)) for _ in range(cfg.num_challenges)]
 
         def absorb(j: int, idx: int, t):
-            accs[j] = gl.add(accs[j], gl.mul(_bcast(apows[j][idx], (n_lde,)), t))
+            p = (apows[j][0][idx], apows[j][1][idx])
+            accs[j] = gl.add(accs[j], gl.mul(_bcast(p, (n_lde,)), t))
 
         l0 = gl.from_u64(l0_u64)
         for j in range(cfg.num_challenges):
