@@ -179,7 +179,11 @@ class CircuitBuilder:
     def _arith_slot(self, c0: int, c1: int) -> tuple[int, int]:
         key = (int(c0) % P, int(c1) % P)
         cur = self._arith_cursor.get(key)
-        gate = self._register(G.ArithmeticGate())
+        # 4 routed wires per op; narrow configs (e.g. the multichip
+        # dryrun's 16-wire circuit) get proportionally fewer ops/row
+        gate = self._register(
+            G.ArithmeticGate(num_ops=min(20, self.config.num_routed_wires // 4))
+        )
         if cur is None or cur[1] >= gate.num_ops:
             row = self.add_row(gate, key)
             cur = (row, 0)

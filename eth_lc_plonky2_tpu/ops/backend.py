@@ -94,9 +94,12 @@ else:
         return carry, stacked
 
     def associative_scan(fn, elems, axis=0):
+        if axis != 0:
+            moved = _tree.tree_map(lambda a: xp.moveaxis(a, axis, 0), elems)
+            out = associative_scan(fn, moved, axis=0)
+            return _tree.tree_map(lambda a: xp.moveaxis(a, 0, axis), out)
         leaves = _tree.tree_leaves(elems)
-        n = leaves[0].shape[axis]
-        assert axis == 0, "numpy associative_scan supports axis=0 only"
+        n = leaves[0].shape[0]
         acc = _tree.tree_map(lambda a: a[0], elems)
         outs = [acc]
         for i in range(1, n):

@@ -111,6 +111,12 @@ def make_g_kernel(pd, counts: dict, num_specs: int, spec_tags: tuple):
     def kernel(ldes, apow_f, y_f, z_f):
         # apow_f: field arrays (total + num_specs,) for re and im parts:
         #   ((re_lo, re_hi), (im_lo, im_hi))
+        #
+        # All per-spec work is BATCHED over a (num_specs, n_lde) axis:
+        # an earlier version used per-spec Montgomery inversion chains,
+        # a pattern XLA:CPU compiles into executables that never
+        # terminate (see prove.py _perm_core — same root cause, same
+        # fix; values are unchanged, exact modular arithmetic).
         apre, apim = apow_f
         b_tag = {}
         for ti, t in enumerate(tags):
@@ -123,42 +129,38 @@ def make_g_kernel(pd, counts: dict, num_specs: int, spec_tags: tuple):
         x_dev = gl.from_u64(x_u64)
         yre, yim = y_f
         zre, zim = z_f
+        S = num_specs
+        shape = (S, n_lde)
 
-        # denominators (x - z_j) for every spec, inverted together:
-        # norms n_j = re_j^2 - W*im_j^2; Montgomery prefix across specs +
-        # ONE Fermat inversion of an (n_lde,) array + backward recovery.
-        den_res, den_ims, norms = [], [], []
-        w_arr = gl.full((n_lde,), ge.W)
-        for j in range(num_specs):
-            dre = gl.sub(x_dev, _bc(((zre[0][j]), (zre[1][j])), (n_lde,)))
-            dim = gl.neg(_bc(((zim[0][j]), (zim[1][j])), (n_lde,)))
-            den_res.append(dre)
-            den_ims.append(dim)
-            norms.append(gl.sub(gl.square(dre), gl.mul(w_arr, gl.square(dim))))
-        prefix = [norms[0]]
-        for j in range(1, num_specs):
-            prefix.append(gl.mul(prefix[-1], norms[j]))
-        inv_p = gl.inv(prefix[-1])  # the single Fermat inversion
-        norm_invs = [None] * num_specs
-        for j in range(num_specs - 1, -1, -1):
-            norm_invs[j] = gl.mul(inv_p, prefix[j - 1]) if j > 0 else inv_p
-            inv_p = gl.mul(inv_p, norms[j])
+        def col(pair):  # (S,) field pair -> (S, n_lde) broadcast
+            return (jnp.broadcast_to(pair[0][:, None], shape),
+                    jnp.broadcast_to(pair[1][:, None], shape))
 
-        g_re = None
-        g_im = None
-        for j in range(num_specs):
-            tag = spec_tags[j]
-            numer = (gl.sub(b_tag[tag][0], _bc(((yre[0][j]), (yre[1][j])), (n_lde,))),
-                     gl.sub(b_tag[tag][1], _bc(((yim[0][j]), (yim[1][j])), (n_lde,))))
-            inv_denom = (gl.mul(den_res[j], norm_invs[j]),
-                         gl.mul(gl.neg(den_ims[j]), norm_invs[j]))
-            term = _ext_mul(numer, inv_denom)
-            bj = total + j
-            beta_j = ((_bc(((apre[0][bj]), (apre[1][bj])), (n_lde,))),
-                      (_bc(((apim[0][bj]), (apim[1][bj])), (n_lde,))))
-            term = _ext_mul(term, beta_j)
-            g_re = term[0] if g_re is None else gl.add(g_re, term[0])
-            g_im = term[1] if g_im is None else gl.add(g_im, term[1])
+        def row(pair):  # (n_lde,) field pair -> (S, n_lde) broadcast
+            return (jnp.broadcast_to(pair[0][None, :], shape),
+                    jnp.broadcast_to(pair[1][None, :], shape))
+
+        # denominators (x - z_j), batched; ONE Fermat inversion of the
+        # (S, n_lde) norm matrix
+        dre = gl.sub(row(x_dev), col(zre))
+        dim = gl.neg(col(zim))
+        w_arr = gl.full(shape, ge.W)
+        norms = gl.sub(gl.square(dre), gl.mul(w_arr, gl.square(dim)))
+        ninv = gl.inv(norms)
+        inv_denom = (gl.mul(dre, ninv), gl.mul(gl.neg(dim), ninv))
+
+        # B rows by spec tag (stack of references, no slice chains)
+        b_re = (jnp.stack([b_tag[t][0][0] for t in spec_tags]),
+                jnp.stack([b_tag[t][0][1] for t in spec_tags]))
+        b_im = (jnp.stack([b_tag[t][1][0] for t in spec_tags]),
+                jnp.stack([b_tag[t][1][1] for t in spec_tags]))
+        numer = (gl.sub(b_re, col(yre)), gl.sub(b_im, col(yim)))
+        term = _ext_mul(numer, inv_denom)
+        beta = (col((apre[0][total:], apre[1][total:])),
+                col((apim[0][total:], apim[1][total:])))
+        term = _ext_mul(term, beta)
+        g_re = nttm.sum_field(term[0], axis=0)
+        g_im = nttm.sum_field(term[1], axis=0)
         return g_re, g_im
 
     return jit(kernel)

@@ -110,16 +110,34 @@ def _chunked_transforms(vals, rate_bits: int, from_coeffs: bool):
     return coeffs, lde
 
 
-@jit(static_argnames=("rate_bits", "cap_height", "from_coeffs"))
-def _commit_core(vals, rate_bits: int, cap_height: int, from_coeffs: bool = False):
-    """IFFT -> coset LDE -> leaf hash -> Merkle levels, one program."""
-    coeffs, lde = _chunked_transforms(vals, rate_bits, from_coeffs)
+@jit(static_argnames=("rate_bits", "from_coeffs"))
+def _transform_core(vals, rate_bits: int, from_coeffs: bool):
+    """IFFT -> coset LDE (the NTT half of a commitment)."""
+    return _chunked_transforms(vals, rate_bits, from_coeffs)
+
+
+@jit(static_argnames=("cap_height",))
+def _hash_levels_core(lde, cap_height: int):
+    """Leaf hash + Merkle levels for an (num_polys, n_lde) LDE batch.
+
+    A separate program from the transforms so the wires / Z / quotient
+    batches of equal shape share ONE compile of the (scan-heavy)
+    Poseidon graph — the transform half differs per batch
+    (from_coeffs), the hash half never does.
+    """
     digests = pos.hash_no_pad((lde[0].T, lde[1].T))  # leaf j = lde[:, j]
     levels = [digests]
     while levels[-1][0].shape[0] > (1 << cap_height):
         cur = levels[-1]
         nxt = pos.compress((cur[0][0::2], cur[1][0::2]), (cur[0][1::2], cur[1][1::2]))
         levels.append(nxt)
+    return levels
+
+
+def _commit_core(vals, rate_bits: int, cap_height: int, from_coeffs: bool = False):
+    """IFFT -> coset LDE -> leaf hash -> Merkle levels (two programs)."""
+    coeffs, lde = _transform_core(vals, rate_bits, from_coeffs)
+    levels = _hash_levels_core(lde, cap_height)
     return coeffs, lde, levels
 
 
@@ -247,6 +265,37 @@ def _roll_lde(arr, offset: int, rate_bits: int):
 # ---------------------------------------------------------------------------
 
 
+def _prefix_mul(ratio, n: int):
+    """Inclusive prefix product along an (n,) field pair.
+
+    Two-level formulation: block-local scans along an UNSHARDED inner
+    axis + one tiny cross-block scan.  Mathematically identical to a
+    flat scan (modular multiplication is associative and exact), but
+    compiles far better under GSPMD when the domain axis is
+    mesh-sharded: the flat scan's log(n) shifted multiplies each cross
+    shard boundaries, while here only the (G,)-length block-total scan
+    does."""
+    G = 32
+    if n % G != 0 or n <= 2 * G:
+        return associative_scan(lambda a, b: gl.mul(a, b), ratio, axis=0)
+    L = n // G
+    blocks = (ratio[0].reshape(G, L), ratio[1].reshape(G, L))
+    local = associative_scan(lambda a, b: gl.mul(a, b), blocks, axis=1)
+    totals = (local[0][:, -1], local[1][:, -1])  # (G,)
+    tot = associative_scan(lambda a, b: gl.mul(a, b), totals, axis=0)
+    one = gl.ones((1,))
+    excl = (
+        jnp.concatenate([one[0], tot[0][:-1]]),
+        jnp.concatenate([one[1], tot[1][:-1]]),
+    )
+    pref = gl.mul(
+        local,
+        (jnp.broadcast_to(excl[0][:, None], (G, L)),
+         jnp.broadcast_to(excl[1][:, None], (G, L))),
+    )
+    return (pref[0].reshape(n), pref[1].reshape(n))
+
+
 @jit(static_argnames=("chunk_size",))
 def _perm_core(wires, sigma, omega_pows, k_shifts, beta_f, gamma_f, chunk_size: int):
     """Z and partial products for one (beta, gamma) challenge set, on device.
@@ -254,6 +303,16 @@ def _perm_core(wires, sigma, omega_pows, k_shifts, beta_f, gamma_f, chunk_size: 
     wires/sigma: (nr, n) field; omega_pows: (n,); k_shifts: (nr,);
     beta_f/gamma_f: shape-() field scalars.  Returns (m, n) field rows
     [Z, p_0, ..., p_{m-2}] evaluated on H.
+
+    Fully BATCHED formulation: one (m, n) Fermat inversion, pairwise
+    tree products, and an associative scan over the m axis for the
+    partial products.  An earlier Montgomery-chain version built long
+    chains of muls over per-row slices of live (m, n) tensors — XLA's
+    CPU backend emits code for that pattern which never terminates at
+    runtime (reproduced at (16, 128) with random inputs; TPU was
+    unaffected), and it was the actual root cause of the round-3
+    multichip dryrun timeouts.  All formulations here are exact
+    modular arithmetic, so the proof bytes are unchanged.
     """
     nr, n = wires[0].shape
     cs = chunk_size
@@ -270,35 +329,27 @@ def _perm_core(wires, sigma, omega_pows, k_shifts, beta_f, gamma_f, chunk_size: 
     # per-chunk products: (m, cs, n) -> (m, n), log2(cs) pairwise folds
     num_chunk = nttm.prod_field((num[0].reshape(m, cs, n), num[1].reshape(m, cs, n)), axis=1)
     den_chunk = nttm.prod_field((den[0].reshape(m, cs, n), den[1].reshape(m, cs, n)), axis=1)
-    # batch-invert den_chunk across the m axis: m-step prefix products +
-    # ONE Fermat inversion of an (n,) array + m-step backward recovery
-    # (vs m Fermat inversions of (n,) arrays)
-    dens = [(den_chunk[0][k], den_chunk[1][k]) for k in range(m)]
-    prefix = [dens[0]]
-    for k in range(1, m):
-        prefix.append(gl.mul(prefix[-1], dens[k]))
-    inv_p = gl.inv(prefix[-1])  # the single Fermat inversion
-    inv_chunks = [None] * m
-    for k in range(m - 1, -1, -1):
-        inv_chunks[k] = gl.mul(inv_p, prefix[k - 1]) if k > 0 else inv_p
-        inv_p = gl.mul(inv_p, dens[k])  # now inv(P_{k-1})
-    ratio = [gl.mul((num_chunk[0][k], num_chunk[1][k]), inv_chunks[k]) for k in range(m)]
-    row_ratio = ratio[0]
-    for k in range(1, m):
-        row_ratio = gl.mul(row_ratio, ratio[k])
+    ratio = gl.mul(num_chunk, gl.inv(den_chunk))  # (m, n), batched inversion
+    # inclusive scan over the m rows: rat_pref[k] = prod_{i<=k} ratio_i
+    rat_pref = associative_scan(lambda a, b: gl.mul(a, b), ratio, axis=0)
+    row_ratio = (rat_pref[0][m - 1], rat_pref[1][m - 1])  # full row product
     # Z(w^i) = prod_{j<i} row_ratio_j  (exclusive prefix product along n)
-    pref = associative_scan(lambda a, b: gl.mul(a, b), row_ratio, axis=0)
+    pref = _prefix_mul(row_ratio, n)
     one = gl.ones(())
     z = (
         jnp.concatenate([one[0][None], pref[0][:-1]]),
         jnp.concatenate([one[1][None], pref[1][:-1]]),
     )
-    out = [z]
-    acc = z
-    for k in range(m - 1):
-        acc = gl.mul(acc, ratio[k])
-        out.append(acc)
-    return (jnp.stack([o[0] for o in out]), jnp.stack([o[1] for o in out]))
+    # partials p_k = Z * rat_pref[k]
+    zb = (
+        jnp.broadcast_to(z[0][None, :], (m - 1, n)),
+        jnp.broadcast_to(z[1][None, :], (m - 1, n)),
+    )
+    rest = gl.mul(zb, (rat_pref[0][: m - 1], rat_pref[1][: m - 1]))
+    return (
+        jnp.concatenate([z[0][None], rest[0]]),
+        jnp.concatenate([z[1][None], rest[1]]),
+    )
 
 
 def compute_permutation_polys(pd: ProverData, wires_dev, beta: int, gamma: int):
@@ -523,7 +574,9 @@ def prove(pd: ProverData, witness: Witness, put=None) -> Proof:
     """put: optional fn(field_pair) -> field_pair applied to the witness
     matrix on upload — the sharded prover (parallel/prover.py) uses it
     to place the wires with a NamedSharding so XLA partitions every
-    downstream kernel."""
+    downstream kernel.  The permutation Z rows are re-placed with the
+    same `put` before the Z commit so its layout matches the wires
+    commit program."""
     data = pd.data
     cfg = data.config
     n = data.n
@@ -565,6 +618,8 @@ def prove(pd: ProverData, witness: Witness, put=None) -> Proof:
         jnp.concatenate([z[0] for z in z_rows]),
         jnp.concatenate([z[1] for z in z_rows]),
     )
+    if put is not None:
+        zs_vals = put(zs_vals)
     prof.phase("commit_zs", zs_vals)
     zs_batch = commit_field_values(zs_vals, rate, cap_h)
     ch.observe_cap(zs_batch.cap)  # [device sync]

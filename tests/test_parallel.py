@@ -117,8 +117,11 @@ print("SHARDED_PROVE_OK")
 def test_parallel_equality():
     """Heavy tier: ~40 cold XLA compiles for the 8-device layouts
     (~10+ min on this 2-core host).  The same property — sharded proof
-    byte-identical to single-device — is certified every round by the
-    driver's dryrun_multichip entry point."""
+    byte-identical to single-device — is certified in the DEFAULT tier
+    by tests/test_multidevice_prove.py (2-device mesh, small config,
+    committed numpy reference) and every round by the driver's
+    dryrun_multichip; this test additionally covers the full-size
+    config and the explicit dist-NTT/commit kernels."""
     env = dict(os.environ)
     env.update(
         ELP_BACKEND="jax",
