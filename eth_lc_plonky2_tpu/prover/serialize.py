@@ -31,10 +31,10 @@ import cloudpickle
 from ..ops import goldilocks as gl
 from ..ops import ntt as nttm
 from .merkle import MerkleTree
-from .prove import CommitmentBatch, Proof, ProverData, VerifierKey, SHIFT
+from .prove import CommitmentBatch, OpeningSet, Proof, ProverData, VerifierKey, SHIFT
 from ..circuit.builder import CircuitData
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3  # v3: extras = (target, bls_targets); PI-hash absorption
 
 
 def cache_key(*parts) -> str:
@@ -116,3 +116,153 @@ def save_proof(path: str, proof: Proof):
 def load_proof(path: str) -> Proof:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Portable proof bundle (docs/proof_format.md)
+# ---------------------------------------------------------------------------
+#
+# A self-contained JSON artifact: circuit description (incl. gate
+# constraint polynomials as expression DAGs), verifier key, proof.
+# Non-executable (no pickle) and verifiable WITHOUT this package by
+# tools/verify_standalone.py — the second-implementation verifier.
+
+BUNDLE_FORMAT = "eth-lc-plonky2-tpu/proof-bundle/v1"
+
+
+def _hx(v) -> str:
+    return hex(int(v))
+
+
+def _hx_rows(arr) -> list:
+    return [[_hx(v) for v in row] for row in np.asarray(arr)]
+
+
+def proof_to_dict(proof: Proof, include_indices: bool = False) -> dict:
+    """Proof -> plain JSON-serializable dict (hex-string field elements)."""
+    d = {
+        "public_inputs": [_hx(v) for v in proof.public_inputs],
+        "wires_cap": _hx_rows(proof.wires_cap),
+        "zs_cap": _hx_rows(proof.zs_cap),
+        "quotient_cap": _hx_rows(proof.quotient_cap),
+        "openings": {
+            f"{tag}:{off}": _hx_rows(vals)
+            for (tag, off), vals in proof.openings.values.items()
+        },
+        "fri": {
+            "layer_caps": [_hx_rows(c) for c in proof.fri_proof.layer_caps],
+            "final_poly": _hx_rows(proof.fri_proof.final_poly),
+            "pow_witness": _hx(proof.fri_proof.pow_witness),
+            "query_proofs": [
+                {
+                    "batch_leaves": {
+                        t: [_hx(v) for v in qp.batch_leaves[t]]
+                        for t in ("P", "W", "Z", "Q")
+                    },
+                    "batch_paths": {
+                        t: _hx_rows(np.asarray(qp.batch_paths[t]))
+                        for t in ("P", "W", "Z", "Q")
+                    },
+                    "layer_leaves": [
+                        [_hx(v) for v in leaf] for leaf in qp.layer_leaves
+                    ],
+                    "layer_paths": [
+                        _hx_rows(np.asarray(p)) for p in qp.layer_paths
+                    ],
+                }
+                for qp in proof.fri_proof.query_proofs
+            ],
+        },
+    }
+    if include_indices:
+        d["fri"]["query_indices"] = [int(i) for i in proof.fri_proof.query_indices]
+    return d
+
+
+def proof_from_dict(d: dict) -> Proof:
+    """Inverse of proof_to_dict (requires query_indices present)."""
+    from .fri import FriProof, FriQueryProof
+
+    def iv(h):
+        return int(h, 16)
+
+    def arr(rows):
+        return np.array([[iv(v) for v in row] for row in rows], dtype=np.uint64)
+
+    openings = {}
+    for key, rows in d["openings"].items():
+        tag, off = key.split(":")
+        openings[(tag, int(off))] = arr(rows)
+    fri = d["fri"]
+    qps = []
+    for qp in fri["query_proofs"]:
+        qps.append(
+            FriQueryProof(
+                batch_leaves={
+                    t: np.array([iv(v) for v in qp["batch_leaves"][t]], dtype=np.uint64)
+                    for t in ("P", "W", "Z", "Q")
+                },
+                batch_paths={
+                    t: [row for row in arr(qp["batch_paths"][t])]
+                    for t in ("P", "W", "Z", "Q")
+                },
+                layer_leaves=[
+                    np.array([iv(v) for v in leaf], dtype=np.uint64)
+                    for leaf in qp["layer_leaves"]
+                ],
+                layer_paths=[[row for row in arr(p)] for p in qp["layer_paths"]],
+            )
+        )
+    return Proof(
+        public_inputs=np.array([iv(v) for v in d["public_inputs"]], dtype=np.uint64),
+        wires_cap=arr(d["wires_cap"]),
+        zs_cap=arr(d["zs_cap"]),
+        quotient_cap=arr(d["quotient_cap"]),
+        openings=OpeningSet(values=openings),
+        fri_proof=FriProof(
+            layer_caps=[arr(c) for c in fri["layer_caps"]],
+            final_poly=arr(fri["final_poly"]),
+            pow_witness=iv(fri["pow_witness"]),
+            query_indices=list(fri["query_indices"]),
+            query_proofs=qps,
+        ),
+    )
+
+
+def export_proof_bundle(path: str, data: CircuitData, vk, proof: Proof):
+    """Write the portable JSON bundle for (circuit, vk, proof)."""
+    import json
+
+    from ..circuit.algebra import gate_expression
+
+    cfg = data.config
+    bundle = {
+        "format": BUNDLE_FORMAT,
+        "config": {
+            "num_wires": cfg.num_wires,
+            "num_routed_wires": cfg.num_routed_wires,
+            "num_constants": cfg.num_constants,
+            "num_challenges": cfg.num_challenges,
+            "permutation_chunk_size": cfg.permutation_chunk_size,
+            "fri": {
+                "rate_bits": cfg.fri.rate_bits,
+                "cap_height": cfg.fri.cap_height,
+                "proof_of_work_bits": cfg.fri.proof_of_work_bits,
+                "num_query_rounds": cfg.fri.num_query_rounds,
+                "final_poly_bits": cfg.fri.final_poly_bits,
+            },
+        },
+        "circuit": {
+            "log_n": data.log_n,
+            "gate_names": list(data.gate_names),
+            "gates": [gate_expression(g) for g in data.gates],
+            "wire_offsets": sorted(
+                {off for g in data.gates for off in g.wire_offsets} | {0}
+            ),
+            "public_input_rows": [[int(r), int(c)] for (r, c) in data.public_input_targets],
+        },
+        "vk": {"pre_cap": _hx_rows(vk.pre_cap)},
+        "proof": proof_to_dict(proof),
+    }
+    with open(path, "w") as f:
+        json.dump(bundle, f)

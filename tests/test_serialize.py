@@ -71,3 +71,45 @@ class TestSerialize:
         proof2.public_inputs[0] += 1
         with pytest.raises(VerificationError):
             verify(data, vk, proof2)
+
+    def test_proof_json_dict_roundtrip(self, tmp_path):
+        """proof_to_dict/proof_from_dict (the non-executable encoding
+        used by BLS artifacts and the portable bundle) preserve the
+        proof exactly."""
+        b, x = _circuit()
+        data = b.build()
+        pd, vk = pr.preprocess(data)
+        w = data.new_witness()
+        w.set(x, 1)
+        w.generate()
+        proof = pr.prove(pd, w)
+        import json
+
+        d = json.loads(json.dumps(ser.proof_to_dict(proof, include_indices=True)))
+        proof2 = ser.proof_from_dict(d)
+        verify(data, vk, proof2)
+        assert np.array_equal(proof2.public_inputs, proof.public_inputs)
+        assert proof2.fri_proof.query_indices == list(proof.fri_proof.query_indices)
+
+
+def test_bls_artifact_roundtrip(tmp_path):
+    """save/load_bls_artifacts: proof/vk are plain JSON (non-executable),
+    circuit via cloudpickle; the reloaded triple proves absorbable."""
+    from eth_lc_plonky2_tpu.models import bls
+
+    inner = bls.build_dummy_bls_circuit(2, fri=FriConfig(proof_of_work_bits=4, num_query_rounds=4))
+    proof, vk = bls.prove_dummy_bls(
+        inner, bytes(range(32)), bytes(range(96)),
+        [bytes(range(48)), bytes(range(48, 96))], [1, 0],
+    )
+    d = str(tmp_path / "bls")
+    bls.save_bls_artifacts(d, inner, proof, vk)
+    import os
+
+    assert sorted(os.listdir(d)) == ["circuit.pkl", "proof.json", "vk.json"]
+    data2, proof2, vk2 = bls.load_bls_artifacts(d)
+    assert np.array_equal(vk2.pre_cap, vk.pre_cap)
+    assert np.array_equal(proof2.public_inputs, proof.public_inputs)
+    from eth_lc_plonky2_tpu.prover.verify import verify as vfy
+
+    vfy(data2, vk2, proof2)
