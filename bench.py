@@ -65,9 +65,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# Persistent-cache setup is owned by ops.backend (imported below): it
+# enables the on-disk XLA cache on TPU and skips it on the CPU platform
+# (where AOT entries from another machine load pathologically slowly).
 
 from eth_lc_plonky2_tpu.circuit.builder import CircuitBuilder, Witness
 from eth_lc_plonky2_tpu.circuit import gadgets_sha256 as gs
