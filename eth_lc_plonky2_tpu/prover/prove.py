@@ -27,7 +27,7 @@ import dataclasses
 
 import numpy as np
 
-from ..ops.backend import xp as jnp, jit, associative_scan
+from ..ops.backend import xp as jnp, jit, associative_scan, USE_NUMPY
 
 from ..ops import goldilocks as gl
 from ..ops import goldilocks_ext as ge
@@ -496,6 +496,24 @@ def make_quotient_kernel(pd: ProverData):
         k0 = 1 + m + num_pi
         for gi, g in enumerate(data.gates):
             if g.num_constraints == 0:
+                continue
+            if not USE_NUMPY and getattr(g, "device_quotient_scan", False):
+                # scan-based evaluator: same values, ~30x smaller
+                # traced graph (the unrolled Poseidon eval pushed the
+                # full circuit's quotient MLIR past the compile
+                # helper's memory limit)
+                from ..circuit.gates_poseidon import absorb_poseidon_quotient
+
+                apow_rows = [
+                    (apows[j][0][k0 : k0 + g.num_constraints],
+                     apows[j][1][k0 : k0 + g.num_constraints])
+                    for j in range(cfg.num_challenges)
+                ]
+                new_accs = absorb_poseidon_quotient(
+                    wires_lde, sel(gi), apow_rows, accs
+                )
+                for j in range(cfg.num_challenges):
+                    accs[j] = new_accs[j]
                 continue
             cons = g.eval(A, wires, consts)
             s = sel(gi)

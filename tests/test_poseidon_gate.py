@@ -102,3 +102,70 @@ class TestSponge:
             [1, 2, 3, 4], [5, 6, 7, 8]
         )
         verify(data, vk, proof)
+
+
+def test_scan_quotient_evaluator_matches_unrolled_eval():
+    """absorb_poseidon_quotient (the jax path's scan-based constraint
+    absorber — 30x smaller traced graph) is bit-identical to the
+    generic unrolled eval() absorption, on random wires/selector/alpha
+    inputs.  Runs the scan version in a jax-CPU subprocess (ELP_BACKEND
+    is frozen at import); expected values come from this process's
+    numpy backend."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    import numpy as np
+
+    from eth_lc_plonky2_tpu.ops import goldilocks as gl
+    from eth_lc_plonky2_tpu.circuit.gates_poseidon import PoseidonGate, NUM_WIRES_REQUIRED
+    from eth_lc_plonky2_tpu.circuit.algebra import DeviceBaseAlgebra
+
+    n_lde = 64
+    rng = np.random.default_rng(1)
+    wires_u = rng.integers(0, gl.P, size=(NUM_WIRES_REQUIRED, n_lde), dtype=np.uint64)
+    wires = gl.from_u64(wires_u)
+    sel_u = rng.integers(0, gl.P, size=(n_lde,), dtype=np.uint64)
+    nch = 2
+    ap_u = [rng.integers(0, gl.P, size=(130,), dtype=np.uint64) for _ in range(nch)]
+    acc_u = [rng.integers(0, gl.P, size=(n_lde,), dtype=np.uint64) for _ in range(nch)]
+
+    g = PoseidonGate()
+    A = DeviceBaseAlgebra((n_lde,))
+    sel = gl.from_u64(sel_u)
+    cons = g.eval(A, lambda col, offset=0: (wires[0][col], wires[1][col]), lambda i: None)
+    out = [gl.from_u64(a) for a in acc_u]
+    for k, cval in enumerate(cons):
+        sc = gl.mul(sel, cval)
+        for j in range(nch):
+            p = gl.from_u64(np.uint64(ap_u[j][k]))
+            out[j] = gl.add(out[j], gl.mul(
+                (np.broadcast_to(p[0], (n_lde,)), np.broadcast_to(p[1], (n_lde,))), sc))
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "case.npz")
+        np.savez(path, wires=wires_u, sel=sel_u, ap0=ap_u[0], ap1=ap_u[1],
+                 acc0=acc_u[0], acc1=acc_u[1],
+                 out0=np.asarray(gl.to_u64(out[0])), out1=np.asarray(gl.to_u64(out[1])))
+        script = (
+            "import numpy as np, jax, sys\n"
+            "from eth_lc_plonky2_tpu.ops import goldilocks as gl\n"
+            "from eth_lc_plonky2_tpu.circuit.gates_poseidon import absorb_poseidon_quotient\n"
+            f"z = np.load({path!r})\n"
+            "wires = gl.from_u64(z['wires']); sel = gl.from_u64(z['sel'])\n"
+            "ap = [gl.from_u64(z['ap0']), gl.from_u64(z['ap1'])]\n"
+            "accs = [gl.from_u64(z['acc0']), gl.from_u64(z['acc1'])]\n"
+            "got = jax.jit(absorb_poseidon_quotient)(wires, sel, ap, accs)\n"
+            "for j, key in enumerate(('out0', 'out1')):\n"
+            "    assert np.array_equal(np.asarray(gl.to_u64(got[j])), z[key]), j\n"
+            "print('SCAN_EQ_OK')\n"
+        )
+        env = dict(os.environ)
+        env.update(ELP_BACKEND="jax", JAX_PLATFORMS="cpu", PYTHONPATH="",
+                   PALLAS_AXON_POOL_IPS="")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        res = subprocess.run([sys.executable, "-c", script], cwd=repo, env=env,
+                             capture_output=True, text=True, timeout=600)
+        assert res.returncode == 0, f"{res.stdout}\n{res.stderr}"
+        assert "SCAN_EQ_OK" in res.stdout
