@@ -160,13 +160,63 @@ def bench_sha_prove(log_rows: int, use_cache: bool):
     t0 = time.time()
     proof = pr.prove(pd, w)  # compile + warmup
     verify(data, vk, proof)
-    log(f"warmup prove+verify ({time.time() - t0:.1f}s)")
+    warm = time.time() - t0
+    log(f"warmup prove+verify ({warm:.1f}s)")
+    RESULT["extra"]["sha_warm_prove_s"] = round(warm, 1)
     t0 = time.time()
     proof = pr.prove(pd, w)
     dt = time.time() - t0
     log(f"steady-state prove: {dt:.3f}s")
     verify(data, vk, proof)
     return data, dt
+
+
+def bench_full512():
+    """Steady-state prove of the cached full 512-committee circuit.
+
+    Uses the circuit + preprocess + generated witness that a CLI run
+    with --cache-dir .cache/cli left behind (the flagship workload —
+    VERDICT r3 item 7: make the headline number driver-captured).
+    Skipped silently when no cached flagship circuit exists.
+    """
+    import glob
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "cli")
+    best = None
+    for d in sorted(glob.glob(os.path.join(root, "circuit_*"))):
+        if os.path.exists(os.path.join(d, "witness.npz")) and os.path.exists(
+            os.path.join(d, "pre.npz")
+        ):
+            sz = os.path.getsize(os.path.join(d, "pre.npz"))
+            if best is None or sz > best[1]:
+                best = (d, sz)
+    if best is None:
+        log("full512: no cached flagship circuit with witness (.cache/cli) — skipping")
+        return None
+    t0 = time.time()
+    _, data, pd, vk = ser.load_circuit(best[0])
+    z = np.load(os.path.join(best[0], "witness.npz"))
+    w = Witness(data)
+    w.values = z["values"]
+    w.known = z["known"]
+    log(f"full512 cache load ({time.time() - t0:.1f}s): 2^{data.log_n} rows, "
+        f"{data.num_rows_used} used")
+    t0 = time.time()
+    proof = pr.prove(pd, w)
+    verify(data, vk, proof)
+    warm = time.time() - t0
+    log(f"full512 warmup prove+verify ({warm:.1f}s)")
+    t0 = time.time()
+    proof = pr.prove(pd, w)
+    dt = time.time() - t0
+    verify(data, vk, proof)
+    log(f"full512 steady-state prove: {dt:.3f}s")
+    extra = RESULT["extra"]
+    extra["full512_warm_prove_s"] = round(warm, 1)
+    extra["full512_prove_wall_s"] = round(dt, 3)
+    extra["full512_rows_used"] = data.num_rows_used
+    extra["full512_vs_baseline"] = round((data.n / dt) / REFERENCE_ROWS_PER_S, 3)
+    return dt
 
 
 def bench_ntt():
@@ -246,6 +296,13 @@ def main():
             vs_baseline=round(rows_per_s / REFERENCE_ROWS_PER_S, 3),
         )
         emit()
+
+    if not skip_proves and os.environ.get("BENCH_FULL512", "1") != "0":
+        # flagship: the cached full 512-committee circuit (skips
+        # itself when no CLI run has populated .cache/cli yet)
+        full_dt = bench_full512()
+        if full_dt is not None:
+            emit()
 
     if os.environ.get("BENCH_FULL", "0") == "1" and not skip_proves:
         # secondary: round-1 arith toy shape (continuity with BENCH_r01)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -219,6 +220,16 @@ def run(
     w.generate()
     report["witness_s"] = round(time.time() - t0, 3)
     print(f"witness generated in {report['witness_s']}s", file=out)
+    if cache_dir:
+        # a valid witness for this circuit (bench.py's full-circuit
+        # steady-prove benchmark loads it; NOT keyed by update inputs)
+        t0 = time.time()
+        os.makedirs(ser.cache_dir_for(cache_dir, key), exist_ok=True)
+        np.savez_compressed(
+            os.path.join(ser.cache_dir_for(cache_dir, key), "witness.npz"),
+            values=w.values, known=w.known,
+        )
+        print(f"witness cached in {round(time.time() - t0, 1)}s", file=out)
 
     if skip_prove:
         return report
