@@ -497,20 +497,22 @@ def make_quotient_kernel(pd: ProverData):
         for gi, g in enumerate(data.gates):
             if g.num_constraints == 0:
                 continue
-            if not USE_NUMPY and getattr(g, "device_quotient_scan", False):
-                # scan-based evaluator: same values, ~30x smaller
-                # traced graph (the unrolled Poseidon eval pushed the
-                # full circuit's quotient MLIR past the compile
-                # helper's memory limit)
-                from ..circuit.gates_poseidon import absorb_poseidon_quotient
-
+            absorber = None if USE_NUMPY else getattr(g, "absorb_quotient_device", None)
+            if absorber is not None:
+                # gate-provided batched/scan evaluator: same values
+                # (exact modular arithmetic throughout), far smaller
+                # traced graph than unrolling eval() — the unrolled
+                # Poseidon eval pushed the full circuit's quotient MLIR
+                # past the compile helper's memory limit, and the
+                # unrolled SHA eval dominated warm-prove trace+lower
+                # time (reports/full512_bls_r4.md)
                 apow_rows = [
                     (apows[j][0][k0 : k0 + g.num_constraints],
                      apows[j][1][k0 : k0 + g.num_constraints])
                     for j in range(cfg.num_challenges)
                 ]
-                new_accs = absorb_poseidon_quotient(
-                    wires_lde, sel(gi), apow_rows, accs
+                new_accs = absorber(
+                    wires_lde, consts, sel(gi), apow_rows, accs, rate
                 )
                 for j in range(cfg.num_challenges):
                     accs[j] = new_accs[j]

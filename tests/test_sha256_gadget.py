@@ -159,3 +159,68 @@ class TestMerkleTreeGadget:
         proof = pr.prove(pd, w)
         with pytest.raises(VerificationError):
             verify(data, vk, proof)
+
+
+def test_batched_quotient_matches_eval():
+    """absorb_sha_quotient (the jax-path batched evaluator) computes
+    bit-identical values to the unrolled eval() + per-constraint
+    absorption on arbitrary field inputs — the invariant that keeps
+    jax-backend proof bytes equal to the numpy backend's."""
+    import jax.numpy as jnp
+
+    from eth_lc_plonky2_tpu.circuit import gates_sha256 as g
+    from eth_lc_plonky2_tpu.circuit.algebra import DeviceBaseAlgebra
+    from eth_lc_plonky2_tpu.ops import goldilocks as gl
+
+    rng = np.random.default_rng(11)
+    n_lde = 256
+    rate = 3
+    nw = g.NUM_WIRES_REQUIRED
+    gate = g.Sha256RoundGate()
+    nc = gate.num_constraints
+
+    def rnd(shape):
+        return gl.from_u64(rng.integers(0, gl.P, size=shape, dtype=np.uint64))
+
+    wires_lde = rnd((nw, n_lde))
+    const_rows = rnd((4, n_lde))
+    sel = rnd((n_lde,))
+    apow_rows = [rnd((nc,)) for _ in range(2)]
+    accs = [rnd((n_lde,)) for _ in range(2)]
+
+    def roll(a, offset):
+        if offset == 0:
+            return a
+        s = offset << rate
+        return (jnp.roll(a[0], -s, axis=-1), jnp.roll(a[1], -s, axis=-1))
+
+    # reference: unrolled eval + one absorb per constraint
+    A = DeviceBaseAlgebra((n_lde,))
+    cons = gate.eval(
+        A,
+        lambda col, offset=0: roll((wires_lde[0][col], wires_lde[1][col]), offset),
+        lambda i: (const_rows[0][i], const_rows[1][i]),
+    )
+    assert len(cons) == nc
+    want = []
+    for j in range(2):
+        acc = accs[j]
+        for k, cval in enumerate(cons):
+            p = (
+                jnp.broadcast_to(apow_rows[j][0][k], (n_lde,)),
+                jnp.broadcast_to(apow_rows[j][1][k], (n_lde,)),
+            )
+            acc = gl.add(acc, gl.mul(p, gl.mul(sel, cval)))
+        want.append(acc)
+
+    got = g.absorb_sha_quotient(
+        wires_lde,
+        lambda i: (const_rows[0][i], const_rows[1][i]),
+        sel,
+        apow_rows,
+        accs,
+        rate,
+    )
+    for j in range(2):
+        np.testing.assert_array_equal(np.asarray(got[j][0]), np.asarray(want[j][0]))
+        np.testing.assert_array_equal(np.asarray(got[j][1]), np.asarray(want[j][1]))
