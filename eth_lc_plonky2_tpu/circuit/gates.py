@@ -127,3 +127,46 @@ GATE_REGISTRY = {}
 def register_gate(gate: Gate) -> Gate:
     GATE_REGISTRY[gate.name] = gate
     return gate
+
+
+# ---------------------------------------------------------------------------
+# Non-executable gate specs (for circuit serialization without pickle)
+# ---------------------------------------------------------------------------
+#
+# A gate is fully described by its type name + constructor params; the
+# registry below reconstructs it.  This is what lets CircuitData's
+# common-data half (the part the recursive verifier needs) round-trip
+# through plain JSON — no code objects in operator-supplied artifacts.
+
+
+def gate_to_spec(g: Gate) -> dict:
+    spec: dict = {"type": g.name}
+    if isinstance(g, ArithmeticGate):
+        spec["num_ops"] = g.num_ops
+    elif isinstance(g, BaseSum2Gate):
+        spec["num_bits"] = g.num_bits
+        spec["num_slots"] = g.num_slots
+    elif isinstance(g, ConstantGate):
+        spec["num_slots"] = g.num_slots
+    return spec
+
+
+def gate_from_spec(spec: dict) -> Gate:
+    t = spec["type"]
+    if t == "noop":
+        return NoopGate()
+    if t == "arith":
+        return ArithmeticGate(num_ops=spec["num_ops"])
+    if t == "basesum2":
+        return BaseSum2Gate(num_bits=spec["num_bits"], num_slots=spec["num_slots"])
+    if t == "const":
+        return ConstantGate(num_slots=spec["num_slots"])
+    if t == "poseidon":
+        from .gates_poseidon import PoseidonGate
+
+        return PoseidonGate()
+    if t == "sha256":
+        from .gates_sha256 import Sha256RoundGate
+
+        return Sha256RoundGate()
+    raise ValueError(f"unknown gate type in spec: {t!r}")

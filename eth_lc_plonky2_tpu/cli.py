@@ -303,7 +303,9 @@ def main(argv=None):
     p.add_argument("--skip-prove", action="store_true", help="build circuit + witness only")
     p.add_argument("--json", action="store_true", help="emit the report as one JSON line")
     p.add_argument("--cache-dir", help="directory for built-circuit/preprocess caching")
-    p.add_argument("--save-proof", help="write the proof here (and verify the reloaded copy)")
+    p.add_argument("--save-proof",
+                   help="write the proof here as non-executable hex-JSON "
+                        "(and verify the reloaded copy)")
     p.add_argument("--export-bundle", dest="export_bundle",
                    help="write the portable JSON proof bundle here "
                         "(docs/proof_format.md; verifiable by "
@@ -313,9 +315,8 @@ def main(argv=None):
                         "'dummy' proves a stand-in inner circuit with the "
                         "targets.rs:471-482 bound-value layout in-process; "
                         "'artifacts=DIR' loads offline-produced inner artifacts "
-                        "(circuit.pkl + proof.json + vk.json; README.md:14 parity). "
-                        "TRUST: circuit.pkl is unpickled (executes code) — only "
-                        "point this at directories from a trusted operator")
+                        "(circuit.json + proof.json + vk.json, all non-executable; "
+                        "README.md:14 parity)")
     p.add_argument("--bls-save", dest="bls_save_dir", metavar="DIR",
                    help="with --bls dummy: also write the inner artifacts to DIR")
     args = p.parse_args(argv)

@@ -202,15 +202,12 @@ def prove_dummy_bls(
 # The reference documents that the BLS artifacts (plonky2_proof,
 # verifier_data, common_data) may be produced offline by another
 # process and loaded from files (/root/reference/README.md:14).  The
-# equivalents here:
-#   circuit.pkl   CircuitData (common data incl. bound-value layout +
-#                 witness generators) via cloudpickle.  TRUST NOTE:
-#                 unpickling executes code — only load artifact
-#                 directories produced by an operator you trust (the
-#                 same trust the reference places in its
-#                 verifier_data/common_data files).
-#   proof.json    the inner proof, hex-string JSON (non-executable;
-#                 same encoding as docs/proof_format.md §7)
+# equivalents here are ALL non-executable (nothing is unpickled):
+#   circuit.json  the inner circuit's common data — config, gate specs,
+#                 public-input rows, k_shifts (the shape the in-circuit
+#                 verifier needs; prover.serialize.common_data_to_dict)
+#   proof.json    the inner proof, hex-string JSON (same encoding as
+#                 docs/proof_format.md §7)
 #   vk.json       the inner verifier key (pre_cap digests)
 
 
@@ -218,13 +215,11 @@ def save_bls_artifacts(dirpath: str, data: CircuitData, proof, vk) -> None:
     import json
     import os
 
-    import cloudpickle
-
     from ..prover import serialize as ser
 
     os.makedirs(dirpath, exist_ok=True)
-    with open(os.path.join(dirpath, "circuit.pkl"), "wb") as f:
-        cloudpickle.dump(data, f)
+    with open(os.path.join(dirpath, "circuit.json"), "w") as f:
+        json.dump(ser.common_data_to_dict(data), f)
     with open(os.path.join(dirpath, "proof.json"), "w") as f:
         json.dump(ser.proof_to_dict(proof, include_indices=True), f)
     with open(os.path.join(dirpath, "vk.json"), "w") as f:
@@ -235,19 +230,20 @@ def load_bls_artifacts(dirpath: str):
     """Returns (CircuitData, proof, VerifierKey); the caller absorbs via
     absorb_bls_proof(..., pin_vk=vk) + set_bls_proof_target.
 
-    Only circuit.pkl is executable on load (cloudpickle) — see the
-    trust note above; proof/vk are plain JSON."""
+    All three files are plain JSON — loading executes no artifact
+    code.  The returned CircuitData is shape-only (no tables or
+    witness generators), which is exactly what in-circuit verification
+    of an offline-produced proof requires."""
     import json
     import os
 
     import numpy as np
-    import cloudpickle
 
     from ..prover import serialize as ser
     from ..prover.prove import VerifierKey
 
-    with open(os.path.join(dirpath, "circuit.pkl"), "rb") as f:
-        data = cloudpickle.load(f)
+    with open(os.path.join(dirpath, "circuit.json")) as f:
+        data = ser.common_data_from_dict(json.load(f))
     with open(os.path.join(dirpath, "proof.json")) as f:
         proof = ser.proof_from_dict(json.load(f))
     with open(os.path.join(dirpath, "vk.json")) as f:

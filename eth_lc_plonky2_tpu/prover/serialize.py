@@ -12,7 +12,13 @@ Format: one directory per cached circuit —
   circuit.pkl   cloudpickle of (extras, CircuitData)
   pre.npz       pre_values / pre coefficient / Merkle-level u64 arrays
 
-Proofs are single .pkl files (numpy + ints only; plain pickle).
+The circuit cache is a SESSION-LOCAL cache of this process's own
+output (never operator-supplied), which is the only reason cloudpickle
+is acceptable there — witness generators are closures.  Everything
+that crosses a trust boundary is non-executable: proofs are hex-string
+JSON (save_proof/load_proof), committed assets are JSON/npz, and the
+recursion-facing half of a circuit round-trips through
+common_data_to_dict/from_dict (gates as (type, params) specs).
 
 Cache keys must capture everything that shapes the circuit; the cache
 is also salted with FORMAT_VERSION so stale formats self-invalidate.
@@ -22,7 +28,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import pickle
 
 import numpy as np
 
@@ -104,18 +109,96 @@ def has_cached_circuit(root: str, key: str) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Proofs
+# Proofs (non-executable JSON — hex-string field elements)
 # ---------------------------------------------------------------------------
 
 
 def save_proof(path: str, proof: Proof):
-    with open(path, "wb") as f:
-        pickle.dump(proof, f)
+    import json
+
+    with open(path, "w") as f:
+        json.dump(proof_to_dict(proof, include_indices=True), f)
 
 
 def load_proof(path: str) -> Proof:
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    import json
+
+    with open(path) as f:
+        return proof_from_dict(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# Common data (the recursion-facing half of CircuitData) — plain JSON
+# ---------------------------------------------------------------------------
+#
+# The in-circuit verifier (circuit/recursion.py) shapes itself from the
+# inner circuit's config / log_n / gate set / public-input rows /
+# k_shifts — the counterpart of plonky2's CommonCircuitData.  Encoding
+# gates as (type, params) specs (circuit.gates.gate_to_spec) makes the
+# artifact non-executable: nothing in it is unpickled or eval'd.
+
+
+def common_data_to_dict(data: CircuitData) -> dict:
+    from ..circuit.gates import gate_to_spec
+
+    cfg = data.config
+    return {
+        "format": "eth-lc-plonky2-tpu/common-data/v1",
+        "config": {
+            "num_wires": cfg.num_wires,
+            "num_routed_wires": cfg.num_routed_wires,
+            "num_constants": cfg.num_constants,
+            "num_challenges": cfg.num_challenges,
+            "permutation_chunk_size": cfg.permutation_chunk_size,
+            "fri": {
+                "rate_bits": cfg.fri.rate_bits,
+                "cap_height": cfg.fri.cap_height,
+                "proof_of_work_bits": cfg.fri.proof_of_work_bits,
+                "num_query_rounds": cfg.fri.num_query_rounds,
+                "final_poly_bits": cfg.fri.final_poly_bits,
+            },
+        },
+        "log_n": data.log_n,
+        "num_rows_used": data.num_rows_used,
+        "gate_names": list(data.gate_names),
+        "gates": [gate_to_spec(g) for g in data.gates],
+        "public_input_targets": [[int(r), int(c)] for (r, c) in data.public_input_targets],
+        "k_shifts": [_hx(v) for v in data.k_shifts],
+    }
+
+
+def common_data_from_dict(d: dict) -> CircuitData:
+    """Rebuild a shape-only CircuitData (tables/generators absent): all
+    the recursive verifier and witness setters need, nothing more."""
+    from ..circuit.builder import Target
+    from ..circuit.gates import gate_from_spec
+    from .config import CircuitConfig, FriConfig
+
+    c = d["config"]
+    cfg = CircuitConfig(
+        num_wires=c["num_wires"],
+        num_routed_wires=c["num_routed_wires"],
+        num_constants=c["num_constants"],
+        num_challenges=c["num_challenges"],
+        permutation_chunk_size=c["permutation_chunk_size"],
+        fri=FriConfig(**c["fri"]),
+    )
+    gates = [gate_from_spec(s) for s in d["gates"]]
+    assert [g.name for g in gates] == list(d["gate_names"]), "gate spec/name mismatch"
+    return CircuitData(
+        config=cfg,
+        log_n=int(d["log_n"]),
+        num_rows_used=int(d["num_rows_used"]),
+        gate_names=list(d["gate_names"]),
+        gates=gates,
+        selectors=None,
+        constants=None,
+        sigma=None,
+        rep=None,
+        generators=[],
+        public_input_targets=[Target(int(r), int(c2)) for r, c2 in d["public_input_targets"]],
+        k_shifts=np.array([int(v, 16) for v in d["k_shifts"]], dtype=np.uint64),
+    )
 
 
 # ---------------------------------------------------------------------------

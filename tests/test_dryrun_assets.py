@@ -5,7 +5,7 @@ sharded prover against these artifacts, so a stale commit must fail
 HERE (cheap, numpy) rather than in the driver run."""
 
 import os
-import pickle
+
 
 import numpy as np
 

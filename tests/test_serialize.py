@@ -93,8 +93,8 @@ class TestSerialize:
 
 
 def test_bls_artifact_roundtrip(tmp_path):
-    """save/load_bls_artifacts: proof/vk are plain JSON (non-executable),
-    circuit via cloudpickle; the reloaded triple proves absorbable."""
+    """save/load_bls_artifacts: all three files are plain JSON
+    (non-executable); the reloaded triple verifies + proves absorbable."""
     from eth_lc_plonky2_tpu.models import bls
 
     inner = bls.build_dummy_bls_circuit(2, fri=FriConfig(proof_of_work_bits=4, num_query_rounds=4))
@@ -106,7 +106,7 @@ def test_bls_artifact_roundtrip(tmp_path):
     bls.save_bls_artifacts(d, inner, proof, vk)
     import os
 
-    assert sorted(os.listdir(d)) == ["circuit.pkl", "proof.json", "vk.json"]
+    assert sorted(os.listdir(d)) == ["circuit.json", "proof.json", "vk.json"]
     data2, proof2, vk2 = bls.load_bls_artifacts(d)
     assert np.array_equal(vk2.pre_cap, vk.pre_cap)
     assert np.array_equal(proof2.public_inputs, proof.public_inputs)

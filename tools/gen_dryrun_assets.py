@@ -7,7 +7,8 @@ Run with the numpy backend (eager host arithmetic, zero XLA compiles):
 Writes:
   meta.json       circuit fingerprint the loader checks for staleness
   pre.npz         preprocessed commitment (values/coeffs/LDE/levels)
-  ref_proof.pkl   the single-device reference proof (numpy + ints)
+  ref_proof.json  the single-device reference proof (hex-string JSON —
+                  non-executable, like every committed artifact)
 
 tests/test_dryrun_assets.py re-derives both from scratch and asserts
 byte-equality, so a stale commit fails CI rather than the driver run.
@@ -15,7 +16,6 @@ byte-equality, so a stale commit fails CI rather than the driver run.
 
 import json
 import os
-import pickle
 import sys
 
 import numpy as np
@@ -52,8 +52,10 @@ def main():
         num_levels=np.array([len(levels)]),
         **{f"level_{i}": l for i, l in enumerate(levels)},
     )
-    with open(os.path.join(g.ASSET_DIR, "ref_proof.pkl"), "wb") as f:
-        pickle.dump(proof, f)
+    from eth_lc_plonky2_tpu.prover import serialize as ser
+
+    with open(os.path.join(g.ASSET_DIR, "ref_proof.json"), "w") as f:
+        json.dump(ser.proof_to_dict(proof, include_indices=True), f)
     with open(os.path.join(g.ASSET_DIR, "meta.json"), "w") as f:
         json.dump({"fingerprint": g._circuit_fingerprint(data),
                    "log_n": data.log_n}, f)
