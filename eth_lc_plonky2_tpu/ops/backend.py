@@ -59,7 +59,26 @@ if not USE_NUMPY:
         return jax.lax.associative_scan(fn, elems, axis=axis)
 
     def device_get(pytree):
-        """One batched device->host transfer of a whole pytree."""
+        """One batched device->host transfer of a whole pytree.
+
+        Multi-controller safe: in a multi-process job (multi-host
+        mesh, parallel/distributed.py) arrays whose shards live on
+        other hosts are materialized with a process allgather, so
+        every host sees the full value and the host-side Fiat-Shamir
+        transcript stays identical across hosts.
+        """
+        if jax.process_count() > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            def one(x):
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    if x.is_fully_replicated:
+                        return jax.device_get(x)
+                    return _np.asarray(multihost_utils.process_allgather(x, tiled=True))
+                return jax.device_get(x)
+
+            return jax.tree_util.tree_map(one, pytree)
         return jax.device_get(pytree)
 
 else:

@@ -37,8 +37,29 @@ def _domain_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+_RESHARD_CACHE: dict = {}
+
+
+def _put_one(x, sharding):
+    if jax.process_count() > 1:
+        # Multi-controller: device_put cannot scatter to non-addressable
+        # devices.  A jitted identity with out_shardings can — numpy
+        # inputs are treated as the (identical-on-every-host) global
+        # value, and already-global arrays are resharded by XLA.
+        ident = _RESHARD_CACHE.get(sharding)
+        if ident is None:
+            ident = jax.jit(lambda a: a, out_shardings=sharding)
+            _RESHARD_CACHE[sharding] = ident
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return ident(x)
+        import numpy as np
+
+        return ident(np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def _put_pair(pair, sharding):
-    return (jax.device_put(pair[0], sharding), jax.device_put(pair[1], sharding))
+    return (_put_one(pair[0], sharding), _put_one(pair[1], sharding))
 
 
 def shard_prover_data(pd: pr.ProverData, mesh: Mesh) -> pr.ProverData:

@@ -299,8 +299,8 @@ def fri_prove(pd, batches, openings, point_specs, zeta, fri_alpha, ch: Challenge
     final_len = size >> fri_cfg.rate_bits
     c_re = nttm.coset_intt(evals[0], 0, shift)
     c_im = nttm.coset_intt(evals[1], 0, shift)
-    c_re_u = np.asarray(gl.to_u64(c_re))
-    c_im_u = np.asarray(gl.to_u64(c_im))
+    c_re_u = np.asarray(device_get(gl.to_u64(c_re)))
+    c_im_u = np.asarray(device_get(gl.to_u64(c_im)))
     assert np.all(c_re_u[final_len:] == 0) and np.all(c_im_u[final_len:] == 0), (
         "FRI final polynomial exceeds expected degree — constraint system bug"
     )

@@ -20,7 +20,7 @@ import dataclasses
 
 import numpy as np
 
-from ..ops.backend import xp as jnp, jit
+from ..ops.backend import xp as jnp, jit, device_get
 from ..ops import goldilocks as gl
 from ..ops import poseidon as pos
 
@@ -47,7 +47,9 @@ class MerkleTree:
     def cap(self) -> np.ndarray:
         """Host (2^cap_height, 4) u64 cap digests (cached transfer)."""
         if self._cap_u64 is None:
-            self._cap_u64 = np.asarray(gl.to_u64(self.levels[-1]), dtype=np.uint64)
+            self._cap_u64 = np.asarray(
+                device_get(gl.to_u64(self.levels[-1])), dtype=np.uint64
+            )
         return self._cap_u64
 
 

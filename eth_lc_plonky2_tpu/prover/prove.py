@@ -27,7 +27,7 @@ import dataclasses
 
 import numpy as np
 
-from ..ops.backend import xp as jnp, jit, associative_scan, USE_NUMPY
+from ..ops.backend import xp as jnp, jit, associative_scan, device_get, USE_NUMPY
 
 from ..ops import goldilocks as gl
 from ..ops import goldilocks_ext as ge
@@ -252,12 +252,8 @@ def wire_offsets_used(data: CircuitData) -> list[int]:
     return sorted(offs)
 
 
-def _roll_lde(arr, offset: int, rate_bits: int):
-    """Wire value at row r+offset, over the LDE domain (natural order)."""
-    if offset == 0:
-        return arr
-    shift = offset << rate_bits
-    return (jnp.roll(arr[0], -shift, axis=-1), jnp.roll(arr[1], -shift, axis=-1))
+# single shared definition (ops/ntt.py) — see roll_lde's docstring
+_roll_lde = nttm.roll_lde
 
 
 # ---------------------------------------------------------------------------
@@ -681,7 +677,7 @@ def prove(pd: ProverData, witness: Witness, put=None) -> Proof:
         open_dev[tag] = eval_poly_ext_many(batches[tag].coeffs, [point_at(o) for o in offs])
     # single transfer of all opening values  [device sync]
     open_host = {
-        tag: (np.asarray(gl.to_u64(v[0])), np.asarray(gl.to_u64(v[1])))
+        tag: (np.asarray(device_get(gl.to_u64(v[0]))), np.asarray(device_get(gl.to_u64(v[1]))))
         for tag, v in open_dev.items()
     }
     openings = {}
