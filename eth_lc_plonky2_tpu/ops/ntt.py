@@ -249,6 +249,20 @@ def powers_device(x, n: int):
     return (out[0][:n], out[1][:n])
 
 
+def roll_lde(arr, offset: int, rate_bits: int):
+    """Wire value at row r+offset over the LDE domain (natural order).
+
+    THE shared next-row helper: the prover's quotient kernel, the
+    gate-provided scan absorbers (gates_sha256/gates_poseidon), and
+    their equivalence tests must all use this one definition — a
+    sign-convention drift between private copies would silently
+    diverge the jax backend from numpy (ADVICE r4)."""
+    if offset == 0:
+        return arr
+    shift = offset << rate_bits
+    return (jnp.roll(arr[0], -shift, axis=-1), jnp.roll(arr[1], -shift, axis=-1))
+
+
 def sum_field(f, axis: int = -1):
     """Field-sum reduction along an axis via pairwise tree reduction."""
     lo = jnp.moveaxis(f[0], axis, -1)

@@ -51,6 +51,10 @@ class Profiler:
             self.times[self._name] = self.times.get(self._name, 0.0) + (now - self._start)
             self.times.setdefault("_sync_wait", 0.0)
             self.times["_sync_wait"] += now - now_block
+        if os.environ.get("ELP_PHASE_LOG", "") not in ("", "0"):
+            import sys
+
+            print(f"[prove +{now - self._t0:7.1f}s] phase {name}", file=sys.stderr, flush=True)
         self._name = name
         self._start = now
 

@@ -189,10 +189,9 @@ def test_batched_quotient_matches_eval():
     accs = [rnd((n_lde,)) for _ in range(2)]
 
     def roll(a, offset):
-        if offset == 0:
-            return a
-        s = offset << rate
-        return (jnp.roll(a[0], -s, axis=-1), jnp.roll(a[1], -s, axis=-1))
+        from eth_lc_plonky2_tpu.ops import ntt as nttm
+
+        return nttm.roll_lde(a, offset, rate)
 
     # reference: unrolled eval + one absorb per constraint
     A = DeviceBaseAlgebra((n_lde,))
