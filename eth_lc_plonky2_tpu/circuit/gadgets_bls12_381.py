@@ -78,34 +78,75 @@ def fq_reduce(b: CircuitBuilder, x):
     return r
 
 
+def _limbs_value(ls) -> int:
+    return sum(v << (32 * i) for i, v in enumerate(ls))
+
+
+def _to_limbs(v: int, n: int = FQ_LIMBS) -> tuple:
+    return tuple((v >> (32 * k)) & 0xFFFFFFFF for k in range(n))
+
+
+def _cond_q(b: CircuitBuilder, c):
+    """[c * q_limb_i] targets for boolean c (a conditional +q)."""
+    return [b.mul_const((Q >> (32 * i)) & 0xFFFFFFFF, c) for i in range(FQ_LIMBS)]
+
+
 def fq_add(b: CircuitBuilder, x, y):
-    return fq_reduce(b, bu.add_biguint(b, x, y))
+    """x + y mod q for canonical x, y — single conditional-subtract.
+
+    r (prover-supplied, < q enforced) and boolean c are constrained by
+    r + c*q == x + y; with x, y < q the true sum is < 2q, so c in
+    {0,1} always suffices — far cheaper than the general div_rem
+    reduction (the aggregate-pubkey circuit pays this per limb op).
+    """
+    r = add_virtual_fq(b)
+    c = b.add_virtual_bool_target()
+
+    def gen(*ls):
+        s = _limbs_value(ls[:FQ_LIMBS]) + _limbs_value(ls[FQ_LIMBS:])
+        return _to_limbs(s % Q) + (1 if s >= Q else 0,)
+
+    b.generators.append(Generator(gen, list(x) + list(y), list(r) + [c]))
+    lhs = bu.add_biguint(b, r, _cond_q(b, c))
+    rhs = bu.add_biguint(b, x, y)
+    bu.connect_biguint(b, lhs, rhs)
+    return r
 
 
 def fq_mul(b: CircuitBuilder, x, y):
-    return fq_reduce(b, bu.mul_biguint(b, x, y))
+    """x * y mod q for canonical x, y: x*y == k*q + r with k a
+    prover-supplied 12-limb quotient (k <= (q-1)^2/q < q fits 12
+    limbs), r canonical."""
+    r = add_virtual_fq(b)
+    k = bu.add_virtual_biguint_target(b, FQ_LIMBS)
+
+    def gen(*ls):
+        p = _limbs_value(ls[:FQ_LIMBS]) * _limbs_value(ls[FQ_LIMBS:])
+        kv, rv = divmod(p, Q)
+        return _to_limbs(rv) + _to_limbs(kv)
+
+    b.generators.append(Generator(gen, list(x) + list(y), list(r) + list(k)))
+    p = bu.mul_biguint(b, x, y)
+    kq = bu.mul_biguint(b, k, _q_const(b))
+    lhs = bu.add_biguint(b, kq, r)
+    bu.connect_biguint(b, lhs, p)
+    return r
 
 
 def fq_sub(b: CircuitBuilder, x, y):
-    """x - y mod q, via a prover-supplied z with z + y == x (mod q)."""
+    """x - y mod q: prover-supplied z < q with z + y == x + c*q."""
     z = add_virtual_fq(b)
-    b.generators.append(
-        Generator(
-            lambda *ls: tuple(
-                ((
-                    (sum(v << (32 * i) for i, v in enumerate(ls[:FQ_LIMBS]))
-                     - sum(v << (32 * i) for i, v in enumerate(ls[FQ_LIMBS:])))
-                    % Q
-                ) >> (32 * k)) & 0xFFFFFFFF
-                for k in range(FQ_LIMBS)
-            ),
-            list(x) + list(y),
-            list(z),
-        )
-    )
-    zy = fq_add(b, z, y)
-    # x is assumed canonical (< q): all gadget outputs here are
-    bu.connect_biguint(b, zy, x)
+    c = b.add_virtual_bool_target()
+
+    def gen(*ls):
+        xv = _limbs_value(ls[:FQ_LIMBS])
+        yv = _limbs_value(ls[FQ_LIMBS:])
+        return _to_limbs((xv - yv) % Q) + (1 if xv < yv else 0,)
+
+    b.generators.append(Generator(gen, list(x) + list(y), list(z) + [c]))
+    lhs = bu.add_biguint(b, z, y)
+    rhs = bu.add_biguint(b, x, _cond_q(b, c))
+    bu.connect_biguint(b, lhs, rhs)
     return z
 
 

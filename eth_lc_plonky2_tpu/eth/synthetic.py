@@ -68,23 +68,54 @@ def _branch(levels: list, pos: int, start_level: int) -> list:
     return out
 
 
+def make_valid_pubkey(rng) -> bytes:
+    """A compressed G1 point actually on the BLS12-381 curve (random x
+    until x^3+4 is a square, random sign) — required by the in-circuit
+    aggregate-pubkey path (models/bls_aggregate), which enforces the
+    curve equation; random byte strings are almost never valid points."""
+    q = int(
+        "1a0111ea397fe69a4b1ba7b6434bacd764774b84f38512bf6730d2a0f6b0f624"
+        "1eabfffeb153ffffb9feffffffffaaab",
+        16,
+    )
+    while True:
+        x = int.from_bytes(rng.integers(0, 256, 48, dtype=np.uint8).tobytes(), "big") % q
+        rhs = (x * x * x + 4) % q
+        y = pow(rhs, (q + 1) // 4, q)
+        if (y * y) % q != rhs:
+            continue
+        out = bytearray(x.to_bytes(48, "big"))
+        out[0] |= 0x80
+        if (int(rng.integers(0, 2)) == 1) != (y > (q - 1) // 2):
+            y = q - y
+        if y > (q - 1) // 2:
+            out[0] |= 0x20
+        return bytes(out)
+
+
 def make_synthetic_update_pair(
     committee_size: int = 8,
     seed: int = 0,
     rollover: bool = True,
     participation: int | None = None,
+    valid_pubkeys: bool = False,
 ) -> SyntheticUpdate:
     """A consistent (cur, new) update pair at the given committee size.
 
     rollover=True puts the attested slot in the period after cur_slot's
     (the common mainnet case driven by main.rs); rollover=False keeps
-    them in the same period.
+    them in the same period.  valid_pubkeys=True draws the SIGNING
+    committee's pubkeys from the actual curve (needed for
+    --bls aggregate; slower: ~2 field exponentiations per key).
     """
     assert committee_size & (committee_size - 1) == 0
     rng = np.random.default_rng(seed)
 
     # --- committees -------------------------------------------------------
-    signing_pubkeys = [bytes(rng.integers(0, 256, 48, dtype=np.uint8)) for _ in range(committee_size)]
+    if valid_pubkeys:
+        signing_pubkeys = [make_valid_pubkey(rng) for _ in range(committee_size)]
+    else:
+        signing_pubkeys = [bytes(rng.integers(0, 256, 48, dtype=np.uint8)) for _ in range(committee_size)]
     signing_agg = bytes(rng.integers(0, 256, 48, dtype=np.uint8))
     c1 = ssz.sync_committee_root(signing_pubkeys, signing_agg)  # signing committee root
 

@@ -59,11 +59,22 @@ def num_bls_bound_values(committee_size: int) -> int:
 num_bls_public_inputs = num_bls_bound_values
 
 
-def bound_value_targets(t) -> list:
+def bound_value_targets(t, slice_index: int = 0, num_slices: int = 1) -> list:
     """The app-circuit wires bound to the inner proof, in the canonical
-    targets.rs:471-482 order (the exact order both sides hash)."""
+    targets.rs:471-482 order (the exact order both sides hash).
+
+    With num_slices > 1 (sliced aggregate sub-proofs,
+    models/bls_aggregate), the member range is the contiguous slice
+    [slice_index * size/num_slices, ...); signing root and signature
+    are bound by every slice."""
+    size = len(t.sync_committee.pubkeys)
+    assert size % num_slices == 0
+    per = size // num_slices
+    lo = slice_index * per
     out = list(t.signing_root_bytes) + list(t.signature_bytes)
-    for pk, bit in zip(t.sync_committee.pubkeys, t.sync_committee_bits):
+    for pk, bit in zip(
+        t.sync_committee.pubkeys[lo : lo + per], t.sync_committee_bits[lo : lo + per]
+    ):
         out.extend(pk)
         out.append(bit)
     return out
@@ -74,7 +85,8 @@ def bound_value_targets(t) -> list:
 # ---------------------------------------------------------------------------
 
 
-def absorb_bls_proof(b: CircuitBuilder, t, bls_data: CircuitData, pin_vk=None):
+def absorb_bls_proof(b: CircuitBuilder, t, bls_data: CircuitData, pin_vk=None,
+                     slice_index: int = 0, num_slices: int = 1):
     """Verify a BLS inner proof in-circuit and bind its values.
 
     `t` is the app-circuit ProofTarget (models.lc_circuit).  Mirrors
@@ -113,12 +125,31 @@ def absorb_bls_proof(b: CircuitBuilder, t, bls_data: CircuitData, pin_vk=None):
         f"inner proof has {len(pt.public_inputs)} public inputs; expected "
         f"the {DIGEST_LEN}-element bound-value digest (see models.bls)"
     )
-    bound = bound_value_targets(t)
-    assert len(bound) == num_bls_bound_values(len(t.sync_committee.pubkeys))
+    bound = bound_value_targets(t, slice_index, num_slices)
+    assert len(bound) == num_bls_bound_values(
+        len(t.sync_committee.pubkeys) // num_slices
+    )
+    if num_slices > 1:
+        # pin the slice identity so a proof for slice j cannot stand
+        # in for slice k (models/bls_aggregate hashes the same pair)
+        bound.append(b.constant(slice_index))
+        bound.append(b.constant(num_slices))
     digest = hash_no_pad_circuit(b, bound)
     for d, p in zip(digest, pt.public_inputs):
         b.connect(d, p)
     return pt, vd
+
+
+def absorb_bls_proofs(b: CircuitBuilder, t, datas: list, pin_vks: list | None = None):
+    """Absorb `len(datas)` sliced inner proofs (slice i covers the
+    i-th contiguous block of committee members).  Returns the list of
+    (proof_target, verifier_data_target) pairs, one per slice."""
+    n = len(datas)
+    pin_vks = pin_vks or [None] * n
+    return [
+        absorb_bls_proof(b, t, data, pin_vk=vk, slice_index=i, num_slices=n)
+        for i, (data, vk) in enumerate(zip(datas, pin_vks))
+    ]
 
 
 def set_bls_proof_target(w, pt, vd, proof, vk):
