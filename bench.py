@@ -317,7 +317,9 @@ def main():
         # SHA-proxy prove (LC workload shape).  A cold build+preprocess
         # costs 25+ min; only attempt it with enough budget left.
         cached = ser.has_cached_circuit(CACHE_ROOT, ser.cache_key("bench_sha", log_rows))
-        need = 360 if cached else 1500
+        # even with circuit+XLA caches warm, the warmup prove costs
+        # ~100 s of cache loads; cold XLA compiles cost 25+ min
+        need = 600 if cached else 1500
         if remaining() < need:
             log(f"sha proxy: skipped ({remaining():.0f}s left < {need}s needed, "
                 f"cached={cached})")

@@ -161,6 +161,7 @@ def run(
                     committee_size, fri=inner_fri,
                     slice_index=si, num_slices=num_slices,
                     slice_size=committee_size // num_slices,
+                    num_wires=cfg.num_wires,  # share kernel shapes with the app circuit
                 )
                 bls_proof, bls_vk = blsa.prove_aggregate_bls(
                     bls_data,

@@ -184,6 +184,7 @@ def build_aggregate_bls_circuit(
     slice_index: int = 0,
     num_slices: int = 1,
     slice_size: int | None = None,
+    num_wires: int | None = None,
 ) -> CircuitData:
     """Inner circuit: bound-value layout of models/bls.py for
     `slice_size` members (default: the whole committee), plus the
@@ -203,7 +204,9 @@ def build_aggregate_bls_circuit(
     assert slice_size * num_slices == committee_size
 
     cfg = CircuitConfig(
-        num_wires=NUM_WIRES_REQUIRED,
+        # >= the Poseidon gate's wire needs; callers may pass the app
+        # circuit's 184 so every slice shares the same kernel shapes
+        num_wires=num_wires or NUM_WIRES_REQUIRED,
         fri=fri or FriConfig(proof_of_work_bits=8, num_query_rounds=12),
     )
     b = CircuitBuilder(cfg)
