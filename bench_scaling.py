@@ -42,16 +42,24 @@ rng = np.random.default_rng(7)
 out = {"n_devices": n_dev}
 
 # --- GSPMD sharded prove (the production path) ---
+# NARROW 16-wire arithmetic-only config: the same shape family as the
+# multichip-certification circuit (__graft_entry__), whose XLA:CPU
+# compiles are known-fast on this 2-vCPU host.  The 96-wire
+# basesum2-bearing toy hit a pathological multi-hour XLA:CPU compile
+# (round-5; same compiler-pathology class as the round-4 runtime
+# non-termination notes in prover/prove.py).
 log_rows = int(os.environ.get("SCALING_LOG_ROWS", "12"))
-cfg = CircuitConfig(fri=FriConfig(proof_of_work_bits=8, num_query_rounds=12))
+cfg = CircuitConfig(
+    num_wires=16, num_routed_wires=16, num_constants=2,
+    permutation_chunk_size=2,
+    fri=FriConfig(cap_height=4, proof_of_work_bits=8, num_query_rounds=12),
+)
 b = CircuitBuilder(cfg)
 x = b.add_virtual_target()
 acc = x
 target_rows = (1 << log_rows) - 8
 while len(b.rows) < target_rows:
-    for _ in range(40):
-        acc = b.mul_add(acc, x, x)
-    b.split_le(acc, 32)
+    acc = b.mul_add(acc, x, x)
 b.register_public_input(acc)
 data = b.build()
 pd, vk = pr.preprocess(data)

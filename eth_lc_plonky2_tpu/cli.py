@@ -155,20 +155,27 @@ def run(
             # optionally sliced into independent sub-proofs for scale
             from .models import bls_aggregate as blsa
 
+            # ONE circuit (slice identity is a witness wire pinned by
+            # the outer digest) -> one build/preprocess/vk/kernel set
+            # shared by every slice
+            bls_data = blsa.build_aggregate_bls_circuit(
+                committee_size, fri=inner_fri,
+                num_slices=num_slices,
+                slice_size=committee_size // num_slices,
+                num_wires=cfg.num_wires,  # share kernel shapes with the app circuit
+            )
+            print(f"BLS aggregate circuit built: {bls_data.num_rows_used} rows, "
+                  f"2^{bls_data.log_n} (+{time.time() - t0:.1f}s)", file=out)
             bls_inners = []
+            bls_pd = bls_vk = None
             for si in range(num_slices):
-                bls_data = blsa.build_aggregate_bls_circuit(
-                    committee_size, fri=inner_fri,
-                    slice_index=si, num_slices=num_slices,
-                    slice_size=committee_size // num_slices,
-                    num_wires=cfg.num_wires,  # share kernel shapes with the app circuit
-                )
-                bls_proof, bls_vk = blsa.prove_aggregate_bls(
+                bls_proof, bls_vk, bls_pd = blsa.prove_aggregate_bls(
                     bls_data,
                     witness_kwargs["signing_root"],
                     witness_kwargs["signature"],
                     witness_kwargs["sync_committee_pubkeys"],
                     witness_kwargs["sync_committee_bits"],
+                    slice_index=si, pd=bls_pd, vk=bls_vk,
                 )
                 bls_inners.append((bls_data, bls_proof, bls_vk))
                 print(f"BLS aggregate slice {si + 1}/{num_slices} proven "

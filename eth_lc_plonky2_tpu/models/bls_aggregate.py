@@ -181,7 +181,6 @@ def _g1_const(b: CircuitBuilder, point: tuple[int, int]):
 def build_aggregate_bls_circuit(
     committee_size: int,
     fri: FriConfig | None = None,
-    slice_index: int = 0,
     num_slices: int = 1,
     slice_size: int | None = None,
     num_wires: int | None = None,
@@ -191,11 +190,15 @@ def build_aggregate_bls_circuit(
     aggregate-pubkey constraints over those members.
 
     committee_size is the FULL committee; with num_slices > 1 this
-    circuit covers members [slice_index*slice_size, ...) and appends
-    [slice_index, num_slices] to the hashed values so slices cannot be
-    permuted.  The digest is over signing_root ++ signature ++ slice
-    members (48 pubkey bytes + bit each) — for num_slices == 1 this is
-    exactly the targets.rs:471-482 layout models/bls.py absorbs.
+    circuit covers one contiguous slice and appends two extra WITNESS
+    wires [slice_index, num_slices] to the hashed values — the outer
+    circuit hashes its own CONSTANTS in those positions, so the digest
+    equality pins the slice identity without baking it into the
+    circuit.  Consequence: ONE build / preprocess / verifier key /
+    compiled kernel set serves every slice; only the witness differs.
+    The digest is over signing_root ++ signature ++ slice members
+    (48 pubkey bytes + bit each) — for num_slices == 1 this is exactly
+    the targets.rs:471-482 layout models/bls.py absorbs.
     """
     from ..circuit.gates_poseidon import NUM_WIRES_REQUIRED
 
@@ -240,14 +243,15 @@ def build_aggregate_bls_circuit(
     for pk, bit in members:
         values.extend(pk)
         values.append(bit)
+    slice_wires = None
     if num_slices > 1:
-        values.append(b.constant(slice_index))
-        values.append(b.constant(num_slices))
+        slice_wires = (b.add_virtual_target(), b.add_virtual_target())
+        values.extend(slice_wires)
     digest = hash_no_pad_circuit(b, values)
     b.register_public_inputs(digest)
     data = b.build()
-    data._agg_inputs = (signing_root, signature, members, points, agg)  # type: ignore[attr-defined]
-    data._agg_slice = (slice_index, num_slices, slice_size)  # type: ignore[attr-defined]
+    data._agg_inputs = (signing_root, signature, members, points, agg, slice_wires)  # type: ignore[attr-defined]
+    data._agg_slice = (num_slices, slice_size)  # type: ignore[attr-defined]
     return data
 
 
@@ -258,11 +262,15 @@ def set_aggregate_witness(
     signature: bytes,
     pubkeys: list,
     bits: list,
+    slice_index: int = 0,
 ):
     """Fill the aggregate circuit's witness: bytes, bits, decompressed
     affine points, and the expected aggregate (host-computed)."""
-    sr_t, sig_t, members, points, agg_t = data._agg_inputs  # type: ignore[attr-defined]
-    slice_index, num_slices, slice_size = data._agg_slice  # type: ignore[attr-defined]
+    sr_t, sig_t, members, points, agg_t, slice_wires = data._agg_inputs  # type: ignore[attr-defined]
+    num_slices, slice_size = data._agg_slice  # type: ignore[attr-defined]
+    if slice_wires is not None:
+        w.set(slice_wires[0], slice_index)
+        w.set(slice_wires[1], num_slices)
     lo = slice_index * slice_size
     sl_pks = pubkeys[lo : lo + slice_size]
     sl_bits = bits[lo : lo + slice_size]
@@ -288,11 +296,18 @@ def prove_aggregate_bls(
     signature: bytes,
     pubkeys: list,
     bits: list,
+    slice_index: int = 0,
+    pd=None,
+    vk=None,
 ):
-    """Prove the aggregate inner circuit; returns (proof, verifier_key)."""
-    pd, vk = pr.preprocess(data)
+    """Prove the aggregate inner circuit; returns (proof, verifier_key).
+
+    Pass (pd, vk) from a previous call to reuse the preprocess and
+    compiled kernels across slices — every slice shares the circuit."""
+    if pd is None:
+        pd, vk = pr.preprocess(data)
     w = data.new_witness()
-    set_aggregate_witness(data, w, signing_root, signature, pubkeys, bits)
+    set_aggregate_witness(data, w, signing_root, signature, pubkeys, bits, slice_index)
     w.generate()
     proof = pr.prove(pd, w)
-    return proof, vk
+    return proof, vk, pd

@@ -63,7 +63,7 @@ def test_aggregate_circuit_satisfied():
     data, w = _witness([1, 1])
     assert check_constraints(data, w.full_matrix()) == []
     # the constrained aggregate equals the host reference
-    _, _, _, _, agg_t = data._agg_inputs
+    _, _, _, _, agg_t, _ = data._agg_inputs
     assert (
         bls381.fq_value(w, agg_t.x),
         bls381.fq_value(w, agg_t.y),
@@ -73,7 +73,7 @@ def test_aggregate_circuit_satisfied():
 def test_aggregate_circuit_partial_participation():
     data, w = _witness([0, 1])
     assert check_constraints(data, w.full_matrix()) == []
-    _, _, _, _, agg_t = data._agg_inputs
+    _, _, _, _, agg_t, _ = data._agg_inputs
     assert (
         bls381.fq_value(w, agg_t.x),
         bls381.fq_value(w, agg_t.y),
@@ -87,7 +87,7 @@ def test_wrong_aggregate_rejected():
 
     data = agg.build_aggregate_bls_circuit(SIZE, fri=TEST_FRI)
     w = data.new_witness()
-    sr_t, sig_t, members, points, agg_t = data._agg_inputs
+    sr_t, sig_t, members, points, agg_t, _ = data._agg_inputs
     for t, byte in zip(sr_t, SIGNING_ROOT):
         w.set(t, byte)
     for t, byte in zip(sig_t, SIGNATURE):
@@ -108,7 +108,7 @@ def test_flipped_sign_rejected():
     """Negating y (wrong sign flag vs y parity) must conflict."""
 
     def tamper(data, w):
-        _, _, _, points, _ = data._agg_inputs
+        _, _, _, points, _, _ = data._agg_inputs
         x, y = agg.decompress_g1(PUBKEYS[0])
         # overwrite point 0 with the OTHER root -q-y — conflicts with
         # the sign constraint during generation or constraint check
@@ -122,7 +122,7 @@ def test_flipped_sign_rejected():
 
     data = agg.build_aggregate_bls_circuit(SIZE, fri=TEST_FRI)
     w = data.new_witness()
-    sr_t, sig_t, members, points, agg_t = data._agg_inputs
+    sr_t, sig_t, members, points, agg_t, _ = data._agg_inputs
     for t, byte in zip(sr_t, SIGNING_ROOT):
         w.set(t, byte)
     for t, byte in zip(sig_t, SIGNATURE):
@@ -157,7 +157,7 @@ def test_aggregate_circuit_proves_and_absorbs():
     syn = make_synthetic_update_pair(size, seed=9, valid_pubkeys=True)
     kw = syn.witness_kwargs
     inner = agg.build_aggregate_bls_circuit(size, fri=TEST_FRI)
-    proof, vk = agg.prove_aggregate_bls(
+    proof, vk, _ = agg.prove_aggregate_bls(
         inner, kw["signing_root"], kw["signature"],
         kw["sync_committee_pubkeys"], kw["sync_committee_bits"],
     )
