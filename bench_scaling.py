@@ -64,6 +64,7 @@ b.register_public_input(acc)
 data = b.build()
 pd, vk = pr.preprocess(data)
 w = data.new_witness(); w.set(x, 1); w.generate()
+print(f"[child n={n_dev}] built+preprocessed", file=sys.stderr, flush=True)
 
 def timed_prove():
     if mesh is None:
@@ -73,13 +74,15 @@ def timed_prove():
     return proof
 
 proof = timed_prove()  # compile + warmup
+print(f"[child n={n_dev}] warmup prove done", file=sys.stderr, flush=True)
 t0 = time.time()
 proof = timed_prove()
 out["prove_s"] = round(time.time() - t0, 3)
 verify(data, vk, proof)
 
+print(f"[child n={n_dev}] prove={out['prove_s']}s", file=sys.stderr, flush=True)
 # --- explicit distributed NTT (all_to_all stage exchange) ---
-log_n = int(os.environ.get("SCALING_LOG_N", "18"))
+log_n = int(os.environ.get("SCALING_LOG_N", "16"))
 n = 1 << log_n
 vals = rng.integers(0, gl.P, size=(n,), dtype=np.uint64)
 f = gl.from_u64(vals)
@@ -113,7 +116,7 @@ def run_one(n: int) -> dict:
     )
     res = subprocess.run(
         [sys.executable, "-c", _CHILD], cwd=_REPO, env=env,
-        capture_output=True, text=True, timeout=3600,
+        text=True, timeout=3600, stdout=subprocess.PIPE,
     )
     if res.returncode != 0:
         raise RuntimeError(f"n={n} failed:\n{res.stdout}\n{res.stderr}")
@@ -131,7 +134,8 @@ def main():
         rows.append(row)
         print(json.dumps(row), file=sys.stderr, flush=True)
     base = rows[0]
-    print("| devices | prove (s) | prove speedup | efficiency | dist NTT 2^18 (ms) | NTT speedup |")
+    log_n = int(os.environ.get("SCALING_LOG_N", "16"))
+    print(f"| devices | prove (s) | prove speedup | efficiency | dist NTT 2^{log_n} (ms) | NTT speedup |")
     print("|---|---|---|---|---|---|")
     for r in rows:
         sp = base["prove_s"] / r["prove_s"] if r["prove_s"] else float("nan")
