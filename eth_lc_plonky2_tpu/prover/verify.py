@@ -18,7 +18,7 @@ from ..ops import goldilocks_ext as ge
 from ..circuit.algebra import HostExtAlgebra
 from ..circuit.builder import CircuitData
 from . import fri as frim
-from .merkle import verify_merkle
+from .merkle import verify_merkle_batch
 from .prove import Proof, VerifierKey, opening_point_specs, wire_offsets_used
 from .transcript import Challenger
 
@@ -211,15 +211,30 @@ def verify(data: CircuitData, vk: VerifierKey, proof: Proof):
     w_lde = gl.primitive_root_of_unity(data.log_n + rate)
     caps = {"P": vk.pre_cap, "W": proof.wires_cap, "Z": proof.zs_cap, "Q": proof.quotient_cap}
 
+    # All Merkle path checks batched per tree (lock-step vectorized
+    # Poseidon, prover/merkle.py): semantically the same checks the
+    # per-query loop below used to make one path at a time.
+    for tag in tags:
+        for qp in fp.query_proofs:
+            _chk(len(qp.batch_leaves[tag]) == counts[tag], f"leaf width mismatch {tag}")
+        rows = np.asarray([qp.batch_leaves[tag] for qp in fp.query_proofs], dtype=np.uint64)
+        pths = np.asarray([qp.batch_paths[tag] for qp in fp.query_proofs], dtype=np.uint64)
+        _chk(
+            verify_merkle_batch(rows, indices, pths, caps[tag]),
+            f"merkle path failed for batch {tag}",
+        )
+    for l in range(num_layers):
+        h = n_lde >> (l + 1)
+        jpos_l = [i % h for i in indices]
+        leaves_l = np.asarray([qp.layer_leaves[l] for qp in fp.query_proofs], dtype=np.uint64)
+        paths_l = np.asarray([qp.layer_paths[l] for qp in fp.query_proofs], dtype=np.uint64)
+        _chk(
+            verify_merkle_batch(leaves_l, jpos_l, paths_l, fp.layer_caps[l]),
+            f"FRI layer {l} merkle path failed",
+        )
+
     for qi, idx in enumerate(indices):
         qp = fp.query_proofs[qi]
-        # batch leaf paths
-        for tag in tags:
-            _chk(len(qp.batch_leaves[tag]) == counts[tag], f"leaf width mismatch {tag}")
-            _chk(
-                verify_merkle(qp.batch_leaves[tag], idx, qp.batch_paths[tag], caps[tag]),
-                f"merkle path failed for batch {tag} at query {qi}",
-            )
         # G(x_idx) from leaves
         x = (SHIFT * pow(w_lde, idx, P)) % P
         g_val = (0, 0)
@@ -244,10 +259,6 @@ def verify(data: CircuitData, vk: VerifierKey, proof: Proof):
             _chk(
                 (leaf[2 * slot], leaf[2 * slot + 1]) == expected,
                 f"FRI layer {l} value mismatch at query {qi}",
-            )
-            _chk(
-                verify_merkle(leaf, jpos, qp.layer_paths[l], fp.layer_caps[l]),
-                f"FRI layer {l} merkle path failed at query {qi}",
             )
             e0 = (leaf[0], leaf[1])
             e1 = (leaf[2], leaf[3])

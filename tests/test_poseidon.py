@@ -73,3 +73,28 @@ def test_batched_consistency():
     for i in range(7):
         single = gl.to_u64(pos.permute(gl.from_u64(states[i])))
         np.testing.assert_array_equal(batched[i], single)
+
+
+def test_permute_np_matches_host_reference():
+    """Lane-vectorized numpy batch permutation == scalar host reference."""
+    rng = np.random.default_rng(7)
+    states = rng.integers(0, pos.P, size=(9, 12), dtype=np.uint64)
+    out = pos.permute_np(states)
+    for b in range(states.shape[0]):
+        exp = pos.permute_host([int(x) for x in states[b]])
+        assert [int(x) for x in out[b]] == exp
+
+
+def test_hash_compress_np_match_host():
+    rng = np.random.default_rng(8)
+    rows = rng.integers(0, pos.P, size=(5, 19), dtype=np.uint64)  # ragged last chunk
+    dig = pos.hash_no_pad_np(rows)
+    for b in range(rows.shape[0]):
+        assert [int(x) for x in dig[b]] == pos.hash_no_pad_host([int(x) for x in rows[b]])
+    l = rng.integers(0, pos.P, size=(5, 4), dtype=np.uint64)
+    r = rng.integers(0, pos.P, size=(5, 4), dtype=np.uint64)
+    cmp = pos.compress_np(l, r)
+    for b in range(5):
+        assert [int(x) for x in cmp[b]] == pos.compress_host(
+            [int(x) for x in l[b]], [int(x) for x in r[b]]
+        )
