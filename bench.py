@@ -233,20 +233,30 @@ def bench_full512():
     return dt
 
 
+def _sync(x):
+    """Force device completion: block_until_ready does not reliably
+    block under the axon async dispatch, so reduce + fetch one scalar."""
+    return jax.device_get(jnp.sum(x.astype(jnp.uint64)))
+
+
 def bench_ntt():
     batch, log_n = 64, 16
     n = 1 << log_n
     rng = np.random.default_rng(0)
     v = gl.from_u64(rng.integers(0, gl.P, size=(batch, n), dtype=np.uint64))
+    v = jax.tree_util.tree_map(jnp.asarray, v)  # device-resident input
     out = nttm.ntt(v)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        out = nttm.ntt(v)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
-    pts_per_s = batch * n / dt
+    _sync(out[0])
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        reps = 10
+        for _ in range(reps):
+            out = nttm.ntt(v)
+        _sync(out[0])
+        dt = (time.time() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    pts_per_s = batch * n / best
     sol = VPU_U32_OPS_PER_S / (BUTTERFLY_U32_OPS * log_n / 2)  # pts/s at light speed
     return pts_per_s, pts_per_s / sol
 
@@ -255,15 +265,19 @@ def bench_poseidon():
     rows = 1 << 19
     rng = np.random.default_rng(1)
     v = gl.from_u64(rng.integers(0, gl.P, size=(rows, 8), dtype=np.uint64))
+    v = jax.tree_util.tree_map(jnp.asarray, v)
     out = pos.hash_no_pad(v)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        out = pos.hash_no_pad(v)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
-    hashes_per_s = rows / dt  # one permutation per rate-8 hash
+    _sync(out[0])
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        reps = 10
+        for _ in range(reps):
+            out = pos.hash_no_pad(v)
+        _sync(out[0])
+        dt = (time.time() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    hashes_per_s = rows / best  # one permutation per rate-8 hash
     sol = VPU_U32_OPS_PER_S / POSEIDON_PERMUTE_U32_OPS
     return hashes_per_s, hashes_per_s / sol
 

@@ -8,7 +8,9 @@ Python-unrolled stages.  This matters twice on TPU: (a) jit
 trace+lower+compile time stays flat as the domain grows to the 2^19
 LDE of the full light-client circuit, and (b) XLA compiles ONE stage
 body it can schedule well.  One bit-reversal gather at the end
-restores natural order.
+restores natural order (scan path only — the TPU MXU path composes
+natural-order base transforms through a Bailey four-step with
+transposes, no gathers; see _ntt_nat_tpu).
 
 Stage derivation: with subproblems kept interleaved, the stage-s
 butterfly always pairs (x[i], x[i+n/2]) with twiddle
@@ -80,28 +82,35 @@ def _scale_inverse(a, n: int):
 
 @functools.lru_cache(maxsize=None)
 def _level_twiddles(log_n: int, log1: int, inverse: bool):
-    """(n2, n1) four-step twiddle table T[i2, j1r] = w^(i2 * rev(j1r)),
-    with j1 in BIT-REVERSED order (the sub-transforms emit bitrev)."""
+    """(n2, n1) four-step twiddle table T[i2, j1] = w^(i2 * j1),
+    natural order on both axes (the sub-transforms emit natural)."""
     n1 = 1 << log1
     n2 = 1 << (log_n - log1)
     w = gl.primitive_root_of_unity(log_n)
     if inverse:
         w = gl.h_inv(w)
-    rev1 = _bit_reverse_indices(log1).astype(np.int64)
     wp = hf.powers(w, 1 << log_n)
     i2 = np.arange(n2, dtype=np.int64)[:, None]
-    tw = wp[(i2 * rev1[None, :]) % (1 << log_n)]
+    j1 = np.arange(n1, dtype=np.int64)[None, :]
+    tw = wp[(i2 * j1) % (1 << log_n)]
     return ((tw & np.uint64(0xFFFFFFFF)).astype(np.uint32),
             (tw >> np.uint64(32)).astype(np.uint32))
 
 
-def _ntt_br_tpu(f, log_k: int, inverse: bool):
-    """(rows, 2^log_k) NTT along the last axis, BIT-REVERSED output.
+def _ntt_nat_tpu(f, log_k: int, inverse: bool):
+    """(rows, 2^log_k) NTT along the last axis, NATURAL output order.
 
-    Recursive self-sorting four-step over the MXU matmul base kernel:
-    with both sub-transforms emitting bit-reversed order, the
-    composition's flat output j1r*n2 + j2r IS bitrev of j1 + n1*j2,
-    so bit-reversal only needs undoing once, at the top of ntt().
+    Recursive Bailey four-step over the MXU matmul base kernel.  With
+    i = i2 + n2*i1 and j = j1 + n1*j2:
+
+      X[j1 + n1*j2] = sum_{i2} w^(i2*j1) [sum_{i1} x[i2 + n2*i1] w1^(i1*j1)]
+                      * w2^(i2*j2)
+
+    i.e. transform columns (length n1), twiddle by w^(i2*j1), transform
+    rows (length n2), transpose.  Everything between base-kernel calls
+    is transposes and one elementwise twiddle mul — no gathers, unlike
+    the former self-sorting bitrev composition whose top-level
+    natural-order gather dominated the whole transform's wall-clock.
     """
     mxu = _mxu_mod()
     b = f[0].shape[0]
@@ -111,7 +120,7 @@ def _ntt_br_tpu(f, log_k: int, inverse: bool):
         if pad:
             lo = jnp.pad(lo, ((0, pad), (0, 0)))
             hi = jnp.pad(hi, ((0, pad), (0, 0)))
-        olo, ohi = mxu.ntt_bitrev(lo, hi, inverse)
+        olo, ohi = mxu.ntt_base(lo, hi, inverse)
         return (olo[:b], ohi[:b])
     log1 = (log_k + 1) // 2 if log_k <= 16 else 8
     log2 = log_k - log1
@@ -121,16 +130,18 @@ def _ntt_br_tpu(f, log_k: int, inverse: bool):
     def cols(x):  # (b, n) -> (b*n2, n1): column view [i2, i1]
         return x.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b * n2, n1)
 
-    lo, hi = _ntt_br_tpu((cols(f[0]), cols(f[1])), log1, inverse)  # [i2, j1r]
+    lo, hi = _ntt_nat_tpu((cols(f[0]), cols(f[1])), log1, inverse)  # [i2, j1]
     lo = lo.reshape(b, n2, n1)
     hi = hi.reshape(b, n2, n1)
     twl = jnp.broadcast_to(jnp.asarray(tw_lo)[None], (b, n2, n1))
     twh = jnp.broadcast_to(jnp.asarray(tw_hi)[None], (b, n2, n1))
     lo, hi = gl.mul((lo, hi), (twl, twh))
-    lo = lo.transpose(0, 2, 1).reshape(b * n1, n2)  # rows [j1r, i2]
+    lo = lo.transpose(0, 2, 1).reshape(b * n1, n2)  # rows [j1, i2]
     hi = hi.transpose(0, 2, 1).reshape(b * n1, n2)
-    lo, hi = _ntt_br_tpu((lo, hi), log2, inverse)  # [j1r, j2r] = bitrev(j)
-    return (lo.reshape(b, 1 << log_k), hi.reshape(b, 1 << log_k))
+    lo, hi = _ntt_nat_tpu((lo, hi), log2, inverse)  # [j1, j2]
+    lo = lo.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b, 1 << log_k)
+    hi = hi.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b, 1 << log_k)
+    return (lo, hi)  # flat [j2, j1] = j1 + n1*j2 = natural j
 
 
 @jit(static_argnames=("inverse",))
@@ -150,9 +161,7 @@ def ntt(f, inverse: bool = False):
     if n == 1:
         return f
     if not USE_NUMPY and f[0].ndim == 2 and log_n >= 4 and _mxu_mod().tpu_ok():
-        out = _ntt_br_tpu(f, log_n, inverse)
-        bitrev, _ = _plan(log_n, inverse)
-        out = _take_last(out, bitrev)
+        out = _ntt_nat_tpu(f, log_n, inverse)
         return _scale_inverse(out, n) if inverse else out
     bitrev, (wp_lo, wp_hi) = _plan(log_n, inverse)
     h = n // 2

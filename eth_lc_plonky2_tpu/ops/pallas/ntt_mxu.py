@@ -18,9 +18,9 @@ VMEM:
      chains (V < 2^110), reduce mod p with the shared _reduce128;
   5. result = V_lo + 2^32 * V_hi (mod p).
 
-The DFT matrix is baked with BIT-REVERSED output columns, so larger
-transforms compose through the self-sorting four-step recursion in
-ops/ntt.py with a single natural-order gather at the very top.
+The DFT matrix is baked in NATURAL output order, so larger transforms
+compose through the Bailey four-step recursion in ops/ntt.py with
+transposes only — no bit-reversal gather anywhere on the TPU path.
 
 Capability parity: the reference's [dep] plonky2_field FFT
 (SURVEY.md §2b, §7 step 2); the MXU mapping is this framework's own.
@@ -47,21 +47,19 @@ MIN_LOG = 2
 
 @functools.lru_cache(maxsize=None)
 def _dft_planes(log_k: int, inverse: bool):
-    """bf16 byte-plane DFT matrix, output columns bit-reversed.
+    """bf16 byte-plane DFT matrix, natural output order.
 
     k >= 128: planes along COLUMNS, (k, 8k) — the kernel runs ONE dot
     and slices output at lane-tile-aligned k multiples.  k < 128:
     planes along ROWS, (8k, k) — per-plane dots with sublane-granular
     slicing only (lane slices below 128 are not Mosaic-safe)."""
-    from ..ntt import _bit_reverse_indices
-
     k = 1 << log_k
-    rev = _bit_reverse_indices(log_k).astype(np.int64)
     w = gl.primitive_root_of_unity(log_k)
     if inverse:
         w = gl.h_inv(w)
     wp = hf.powers(w, k)
-    W = wp[(np.arange(k, dtype=np.int64)[:, None] * rev[None, :]) % k]  # (k, k) u64
+    ij = np.arange(k, dtype=np.int64)
+    W = wp[(ij[:, None] * ij[None, :]) % k]  # (k, k) u64
     planes = [((W >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.float32) for b in range(8)]
     # host numpy only: jit traces call this and caching device arrays
     # created inside a trace would leak tracers (values <= 255 are
@@ -164,8 +162,8 @@ def _ntt_kernel(log_k: int, rhs_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
-def ntt_bitrev(lo, hi, inverse: bool = False, interpret: bool = False):
-    """(B, k) u32 limb arrays -> NTT along the last axis, BIT-REVERSED
+def ntt_base(lo, hi, inverse: bool = False, interpret: bool = False):
+    """(B, k) u32 limb arrays -> NTT along the last axis, natural
     output order, via one MXU matmul per tile.  B must be a multiple
     of TILE_B; k a power of two in [2^MIN_LOG, MAX_BASE].  No inverse
     1/n scaling (callers compose it)."""

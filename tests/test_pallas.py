@@ -38,7 +38,7 @@ from eth_lc_plonky2_tpu.ops import goldilocks as gl, ntt as nttm
 from eth_lc_plonky2_tpu.ops.pallas import ntt_mxu as mxu
 
 rng = np.random.default_rng(12)
-# MXU matmul base kernel (bit-reversed output) vs the scan path —
+# MXU matmul base kernel (natural output) vs the scan path —
 # adversarial values included (p-1 stresses the byte-plane exactness)
 for log_n in (4, 7, 8):
     n = 1 << log_n
@@ -47,24 +47,21 @@ for log_n in (4, 7, 8):
     f = gl.from_u64(vals)
     for inv in (False, True):
         want = np.asarray(gl.to_u64(nttm.ntt(f, inverse=inv)))
-        olo, ohi = mxu.ntt_bitrev(f[0], f[1], inv, interpret=True)
-        bitrev, _ = nttm._plan(log_n, inv)
-        got = np.asarray(gl.to_u64((olo, ohi)))[:, bitrev]
+        olo, ohi = mxu.ntt_base(f[0], f[1], inv, interpret=True)
+        got = np.asarray(gl.to_u64((olo, ohi)))
         if inv:  # kernel omits the 1/n scale (callers compose it)
             got = ((got.astype(object) * pow(n, gl.P - 2, gl.P)) % gl.P).astype(np.uint64)
         assert np.array_equal(got, want), (log_n, inv)
-# self-sorting four-step recursion over the base kernel (the n > 256
+# Bailey four-step recursion over the base kernel (the n > 256
 # production path), one and two recursion levels
-mxu.ntt_bitrev = functools.partial(mxu.ntt_bitrev, interpret=True)
+mxu.ntt_base = functools.partial(mxu.ntt_base, interpret=True)
 for log_n in (9, 14):
     n = 1 << log_n
     vals = rng.integers(0, gl.P, size=(2, n), dtype=np.uint64)
     f = gl.from_u64(vals)
     for inv in (False, True):
         want = np.asarray(gl.to_u64(nttm.ntt(f, inverse=inv)))
-        out = nttm._ntt_br_tpu(f, log_n, inv)
-        bitrev, _ = nttm._plan(log_n, inv)
-        out = (jnp.take(out[0], bitrev, axis=-1), jnp.take(out[1], bitrev, axis=-1))
+        out = nttm._ntt_nat_tpu(f, log_n, inv)
         if inv:
             out = nttm._scale_inverse(out, n)
         assert np.array_equal(np.asarray(gl.to_u64(out)), want), (log_n, inv)
